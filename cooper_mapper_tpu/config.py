@@ -1,0 +1,242 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters configuration over three tiers — ROS parameter server
+defaults (ScanRegistration.cpp:32-49, LaserOdometry.cpp:40-83,
+LaserMatcher.cpp:49-118), launch-file per-sensor bindings
+(L_SLAM/launch/node/*.launch), and hard-coded solver constants.  Here every
+knob lives in one frozen dataclass tree so a config fully determines a compiled
+program (static shapes included).
+
+Capacity fields (``max_*``) are the static-shape bounds replacing the
+reference's dynamically sized clouds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RegistrationConfig:
+    """Feature-extraction parameters (RegistrationParams, ScanRegistration.h:43-119;
+    defaults ScanRegistration.cpp:32-49)."""
+
+    scan_period: float = 0.1          # sweep duration [s]
+    n_feature_regions: int = 6        # azimuthal regions per ring
+    curvature_region: int = 5         # +/- neighbors for curvature
+    max_corner_sharp: int = 2         # sharp corners kept per region
+    max_corner_less_sharp: int = 20   # 10 * max_corner_sharp in reference
+    max_surface_flat: int = 4         # flat surfs kept per region
+    surface_curvature_threshold: float = 0.02
+    corner_curvature_threshold: float = 1.0
+    less_flat_filter_size: float = 0.2  # voxel leaf for less-flat cloud
+    blind_threshold: float = 0.9996     # cos-angle threshold for blind/occluded
+    min_range: float = 0.5              # blind radius cull
+    max_range: float = 150.0
+    # classification (pointClassify, ScanRegistration.cpp:547-666)
+    classify_eig_ratio12: float = 100.0
+    classify_eig_ratio13: float = 10000.0
+    classify_line_tol: float = 0.08
+    # static capacities
+    n_rings: int = 16
+    max_points_per_ring: int = 2048
+    max_sharp: int = 256          # capacity of the sharp-corner cloud
+    max_less_sharp: int = 2048
+    max_flat: int = 1024          # 2 * max_surface_flat * regions * rings bound
+    max_less_flat: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    """Scan-to-scan solver (LaserOdometry.cpp:24-25 and scanMatch)."""
+
+    max_iterations: int = 25
+    delta_r_abort: float = 0.1     # [deg] (converge thresholds, :636-644)
+    delta_t_abort: float = 0.1     # [cm-scale: |dt|*100]
+    refresh_every: int = 5         # correspondences re-found every 5 iters (:358)
+    nn_sq_dist_max: float = 25.0   # 1-NN gate (:364)
+    ring_span: float = 2.5         # adjacent-ring search window (:372)
+    residual_scale: float = 0.05   # matB = -0.05 * coeff.intensity (:575)
+    corner_weight_slope: float = 1.8  # robust weight after iter 5 (feature_utils.h:55)
+    weight_min: float = 0.1
+    eig_threshold: float = 10.0    # degeneracy (:596)
+    min_matched: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanMatchConfig:
+    """Scan-to-map solver (ScanMatch.cpp)."""
+
+    max_iterations: int = 10
+    delta_r_abort: float = 0.05
+    delta_t_abort: float = 0.05
+    knn: int = 5
+    nn_sq_dist_max: float = 5.0       # 5th-NN gate (ScanMatch.cpp:102)
+    plane_max_dist: float = 0.2       # findPlane inlier check (:122)
+    line_eig_ratio: float = 5.0       # findLine lambda2 > 5*lambda1 (feature_utils.h:145)
+    weight_slope: float = 0.9         # map-variant robust weight (feature_utils.h:70,102)
+    weight_min: float = 0.1
+    eig_threshold: float = 100.0      # degeneracy (:223)
+    min_matched: int = 50
+    use_score: bool = True
+    score_threshold: float = 800.0    # (:24)
+    match_percentage_threshold: float = 0.4
+    # scanMatchLocal downsample leaves (:29-30)
+    local_corner_leaf: float = 0.2
+    local_surf_leaf: float = 0.4
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Cube-grid feature map (FeatureMap.h; params LaserMatcher.cpp:107-113)."""
+
+    cube_size: float = 50.0
+    n_cubes: Tuple[int, int, int] = (21, 11, 21)
+    valid_distance: float = 150.0        # lidarValidDistance (active-area cull)
+    corner_cube_capacity: int = 4096     # points stored per cube
+    surf_cube_capacity: int = 8192
+    corner_leaf: float = 0.2             # insertion re-voxelize leaves
+    surf_leaf: float = 0.4
+    margin_cubes: int = 3                # sensor kept >= 3 cubes from boundary
+    # surround gather capacities (static shapes for the solver)
+    surround_corner_capacity: int = 32768
+    surround_surf_capacity: int = 65536
+    # bucket grid used for 5-NN within the surround cloud
+    bucket_size: float = 2.0
+    bucket_capacity: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """LaserMatcher shared knobs (LaserMatcher.cpp:45-170)."""
+
+    corner_leaf: float = 0.2     # prepareFeatureFrame voxel leaves (:288-301)
+    surf_leaf: float = 0.4
+    frame_skip: int = 0          # process every Nth odometry frame
+    dynamic_mode: bool = False
+    max_frame_corner: int = 4096   # downsampled incoming stack capacities
+    max_frame_surf: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
+class UKFConfig:
+    """UKF fusion (ukf_pose_estimator.hpp:35-60, unscented_kalman_filter.hpp)."""
+
+    state_dim: int = 16    # [p(3), v(3), q(4), acc_bias(3), gyro_bias(3)]
+    input_dim: int = 6     # [acc(3), gyro(3)]
+    measure_dim: int = 10  # [p(3), v(3), q(4)]
+    lam: float = 1.0       # sigma-point lambda (:45)
+    # process noise scaling (pos/vel x10, quat x5, biases 1e-6)
+    process_noise_pos: float = 10.0 * 1e-3
+    process_noise_vel: float = 10.0 * 1e-3
+    process_noise_quat: float = 5.0 * 1e-3
+    process_noise_bias: float = 1e-6
+    measure_noise_pos: float = 0.01
+    measure_noise_vel: float = 0.1
+    measure_noise_quat: float = 0.001
+    cool_time_duration: float = 1.0   # predict cool-down (:70)
+    max_velocity: float = 30.0        # clamp before correct (LaserLocalization.cpp:158)
+    reset_jump: float = 5.0           # UKF reset when correction jumps > 5 m
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe gating (keyframe_updater.hpp:12-48)."""
+
+    keyframe_delta_trans: float = 0.25
+    keyframe_delta_angle: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Loop detection thresholds (loop_detector.hpp:57-63, 106-164)."""
+
+    distance_thresh: float = 5.0          # radius for trajectory NN
+    estimated_distance_thresh: float = 25.0
+    accum_distance_thresh: float = 30.0   # traveled-distance gap
+    min_loop_interval: float = 3.0        # distance since last loop
+    max_candidates: int = 6
+    candidate_cluster_dist: float = 5.0
+    # fine matching reuses ScanMatchConfig with scanMatchLocal leaves
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    """Pose-graph backend (graph.cpp, solver_g2o.cpp)."""
+
+    max_iterations: int = 50            # LM iterations (g2o budget is 1000; LM
+                                        # on TPU converges far faster per-iter cost)
+    max_nodes: int = 1024
+    max_edges: int = 2048
+    lm_init_lambda: float = 1e-4
+    lm_lambda_factor: float = 10.0
+    # hand-set information matrices (graph.cpp:281-291, 334-341)
+    seq_info_trans: Tuple[float, float, float] = (0.8, 0.4, 0.8)
+    seq_info_rot: Tuple[float, float, float] = (1.0, 2.0, 1.0)
+    loop_info: float = 2.0
+    pcg_iters: int = 64                 # CG iterations for the sharded solve
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    registration: RegistrationConfig = RegistrationConfig()
+    odometry: OdometryConfig = OdometryConfig()
+    scan_match: ScanMatchConfig = ScanMatchConfig()
+    feature_map: MapConfig = MapConfig()
+    matcher: MatcherConfig = MatcherConfig()
+    ukf: UKFConfig = UKFConfig()
+    keyframe: KeyframeConfig = KeyframeConfig()
+    loop: LoopConfig = LoopConfig()
+    pose_graph: PoseGraphConfig = PoseGraphConfig()
+    mapping_stride: int = 2   # mapping every Nth sweep (rate decoupling)
+
+
+# Per-sensor presets mirroring the launch-file parameter sets
+# (launch/node/lidar_mapping.launch, lidar_localization.launch).
+
+def vlp16() -> PipelineConfig:
+    return PipelineConfig(
+        registration=RegistrationConfig(n_rings=16, max_points_per_ring=2048)
+    )
+
+
+def hdl32() -> PipelineConfig:
+    return PipelineConfig(
+        registration=RegistrationConfig(n_rings=32, max_points_per_ring=2048)
+    )
+
+
+def hdl64() -> PipelineConfig:
+    return PipelineConfig(
+        registration=RegistrationConfig(n_rings=64, max_points_per_ring=2048)
+    )
+
+
+def pandar40() -> PipelineConfig:
+    return PipelineConfig(
+        registration=RegistrationConfig(n_rings=40, max_points_per_ring=2048)
+    )
+
+
+def tiny_test() -> PipelineConfig:
+    """Small capacities for fast CPU tests."""
+    return PipelineConfig(
+        registration=RegistrationConfig(
+            n_rings=8,
+            max_points_per_ring=256,
+            max_sharp=64,
+            max_less_sharp=256,
+            max_flat=128,
+            max_less_flat=1024,
+        ),
+        feature_map=MapConfig(
+            n_cubes=(7, 5, 7),
+            corner_cube_capacity=512,
+            surf_cube_capacity=1024,
+            surround_corner_capacity=2048,
+            surround_surf_capacity=4096,
+        ),
+        matcher=MatcherConfig(max_frame_corner=512, max_frame_surf=1024),
+        pose_graph=PoseGraphConfig(max_nodes=64, max_edges=128),
+    )

@@ -1,0 +1,155 @@
+"""Batched 6-DoF Gauss-Newton machinery.
+
+The shared skeleton of both LOAM solves (LaserOdometry.cpp:505-644,
+ScanMatch.cpp:147-260): masked normal-equation assembly, the 6x6 solve, the
+iteration-0 eigenvalue degeneracy guard, NaN scrubbing, and the
+deltaR/deltaT convergence test.  Everything is batched over leading dims and
+differentiable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+def assemble_normal_eqs(J, b, w_valid):
+    """J: [..., N, 6], b: [..., N], w_valid: [..., N] bool or float.
+
+    Returns (JtJ [..., 6, 6], Jtb [..., 6], n_valid [...]).
+    """
+    w = w_valid.astype(J.dtype)
+    Jw = J * w[..., None]
+    JtJ = jnp.einsum("...ni,...nj->...ij", Jw, J)
+    Jtb = jnp.einsum("...ni,...n->...i", Jw, b)
+    return JtJ, Jtb, jnp.sum(w, axis=-1)
+
+
+def solve_6x6(JtJ, Jtb, damping=0.0):
+    """Solve (JtJ + damping*diag) dx = Jtb.  [..., 6, 6] x [..., 6]."""
+    A = JtJ
+    if damping:
+        A = A + damping * jnp.eye(6, dtype=JtJ.dtype)
+    # tiny Tikhonov floor keeps the solve finite when rows are all-masked;
+    # the degeneracy projector handles genuinely unconstrained directions.
+    A = A + 1e-12 * jnp.eye(6, dtype=JtJ.dtype)
+    return jnp.linalg.solve(A, Jtb[..., None])[..., 0]
+
+
+def degeneracy_projector(JtJ, eig_threshold, reference_mode: bool = False):
+    """Projector that removes unconstrained update directions.
+
+    Reference behavior (LaserOdometry.cpp:583-608, ScanMatch.cpp:211-235):
+    eigendecompose JtJ at iteration 0, zero directions with eigenvalue below
+    the threshold, and project every subsequent update through matP.
+
+    ``reference_mode=False`` (default) uses the spectrally correct projector
+    P = V diag(lam >= thr) V^T — what the original LOAM (OpenCV row-major
+    eigenvectors) computed.  ``reference_mode=True`` replicates the Eigen
+    port's literal matV.inverse() @ matV_rows_zeroed, which zeroes *rows*
+    of the column-eigenvector matrix (a port quirk kept for bit parity).
+
+    Returns (P [..., 6, 6], is_degenerate [...]).
+    """
+    evals, V = jnp.linalg.eigh(JtJ)          # ascending
+    keep = evals >= eig_threshold            # [..., 6]
+    is_degenerate = jnp.any(~keep, axis=-1)
+    if reference_mode:
+        Vz = jnp.where(keep[..., :, None], V, 0.0)     # zero rows i with small lam_i
+        P = jnp.swapaxes(V, -1, -2) @ Vz               # V^-1 @ Vz (V orthogonal)
+    else:
+        P = jnp.einsum("...ik,...k,...jk->...ij", V, keep.astype(JtJ.dtype), V)
+    return P, is_degenerate
+
+
+def nan_guard(x):
+    """Reset non-finite components to 0 (LaserOdometry.cpp:622-634)."""
+    return jnp.where(jnp.isfinite(x), x, 0.0)
+
+
+def convergence_deltas(dx):
+    """(deltaR [deg], deltaT [cm]) from an update 6-vec (rx,ry,rz,tx,ty,tz).
+
+    Matches LaserOdometry.cpp:636-640.
+    """
+    r = dx[..., :3]
+    t = dx[..., 3:]
+    delta_r = jnp.rad2deg(jnp.linalg.norm(r, axis=-1))
+    delta_t = 100.0 * jnp.linalg.norm(t, axis=-1)
+    return delta_r, delta_t
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GNState:
+    """Carry for the iterative solve (batched)."""
+
+    x: jax.Array            # [..., 6] current transform estimate
+    P: jax.Array            # [..., 6, 6] degeneracy projector
+    is_degenerate: jax.Array  # [...] bool
+    converged: jax.Array    # [...] bool — freeze further updates
+    n_matched: jax.Array    # [...] number of residuals in the last build
+    iter_used: jax.Array    # [...] iterations actually applied
+
+
+def gn_init(x0):
+    batch = x0.shape[:-1]
+    return GNState(
+        x=x0,
+        P=jnp.broadcast_to(jnp.eye(6, dtype=x0.dtype), batch + (6, 6)),
+        is_degenerate=jnp.zeros(batch, bool),
+        converged=jnp.zeros(batch, bool),
+        n_matched=jnp.zeros(batch, x0.dtype),
+        iter_used=jnp.zeros(batch, jnp.int32),
+    )
+
+
+def gn_step(
+    state: GNState,
+    JtJ,
+    Jtb,
+    n_valid,
+    iteration,
+    eig_threshold,
+    delta_r_abort,
+    delta_t_abort,
+    min_matched,
+    reference_mode=False,
+):
+    """One masked GN update with the reference's guards.
+
+    The solve is evaluated unconditionally (SPMD); ``converged`` and
+    too-few-matches lanes keep their state (the reference `continue`s at
+    pointSelNum < 10, LaserOdometry.cpp:501, and breaks on convergence).
+    """
+    dx = solve_6x6(JtJ, Jtb)
+
+    def on_first(_):
+        return degeneracy_projector(JtJ, eig_threshold, reference_mode)
+
+    def keep(_):
+        return state.P, state.is_degenerate
+
+    P, is_degenerate = jax.lax.cond(iteration == 0, on_first, keep, None)
+    dx = jnp.where(
+        is_degenerate[..., None], (P @ dx[..., None])[..., 0], dx
+    )
+    dx = nan_guard(dx)
+
+    enough = n_valid >= min_matched
+    active = (~state.converged) & enough
+    x_new = nan_guard(state.x + jnp.where(active[..., None], dx, 0.0))
+
+    delta_r, delta_t = convergence_deltas(dx)
+    just_converged = active & (delta_r < delta_r_abort) & (delta_t < delta_t_abort)
+
+    return GNState(
+        x=x_new,
+        P=P,
+        is_degenerate=is_degenerate,
+        converged=state.converged | just_converged,
+        n_matched=n_valid,
+        iter_used=state.iter_used + active.astype(jnp.int32),
+    )

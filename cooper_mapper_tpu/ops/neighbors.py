@@ -1,0 +1,100 @@
+"""Nearest-neighbor correspondence search, TPU-native.
+
+The reference uses nanoflann kd-trees per query (LaserOdometry.h:101-104,
+ScanMatch.cpp:68-76).  On TPU the idiomatic replacement is a *dense masked
+distance computation* that rides the MXU: ``||q - r||^2 = ||q||^2 - 2 q.r +
+||r||^2`` where the cross term is a matmul.  For the feature-cloud sizes of
+this workload (hundreds to a few thousand points after downsampling), the full
+[Q, M] distance tile is small; for the map-sized reference clouds the search is
+restricted by the cube/bucket grid (see maps/feature_map.py).
+
+All searches honor validity masks via FAR sentinels: invalid reference points
+sit at 1e6 so they can never win a nearest-neighbor race under real gates
+(25 m^2 / 5 m^2 thresholds).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1.0e12
+
+
+def pairwise_sq_dist(q, r, precision=None):
+    """[Q,3] x [M,3] -> [Q,M] squared distances (MXU-friendly)."""
+    qn = jnp.sum(q * q, axis=-1)
+    rn = jnp.sum(r * r, axis=-1)
+    cross = q @ r.T
+    return qn[:, None] - 2.0 * cross + rn[None, :]
+
+
+def nn1(q_xyz, r_xyz, r_mask):
+    """1-NN: returns (idx [Q], sq_dist [Q])."""
+    d = pairwise_sq_dist(q_xyz, r_xyz)
+    d = jnp.where(r_mask[None, :], d, BIG)
+    idx = jnp.argmin(d, axis=-1)
+    return idx, jnp.take_along_axis(d, idx[:, None], axis=-1)[:, 0]
+
+
+def knn(q_xyz, r_xyz, r_mask, k: int):
+    """k-NN: returns (idx [Q,k], sq_dist [Q,k]) sorted ascending."""
+    d = pairwise_sq_dist(q_xyz, r_xyz)
+    d = jnp.where(r_mask[None, :], d, BIG)
+    neg, idx = jax.lax.top_k(-d, k)
+    return idx, -neg
+
+
+def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5):
+    """Odometry corner correspondences (LaserOdometry.cpp:358-408).
+
+    A = nearest reference corner; B = nearest corner on a *different* ring
+    within ``ring_span`` rings of A's ring.  Returns (ia, ib, valid [Q]).
+    """
+    d = pairwise_sq_dist(q_xyz, ref.xyz)
+    d = jnp.where(ref.mask[None, :], d, BIG)
+    ia = jnp.argmin(d, axis=-1)
+    da = jnp.take_along_axis(d, ia[:, None], -1)[:, 0]
+    ring_a = ref.ring[ia]                                   # [Q]
+    ring_diff = jnp.abs(
+        ref.ring[None, :].astype(jnp.float32) - ring_a[:, None].astype(jnp.float32)
+    )
+    adj = (ring_diff > 0.0) & (ring_diff <= ring_span)
+    d2 = jnp.where(adj, d, BIG)
+    ib = jnp.argmin(d2, axis=-1)
+    db = jnp.take_along_axis(d2, ib[:, None], -1)[:, 0]
+    valid = (da < max_sq_dist) & (db < max_sq_dist)
+    return ia, ib, valid
+
+
+def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5):
+    """Odometry surface correspondences (LaserOdometry.cpp:421-497).
+
+    A = nearest surf point; B = nearest other surf on A's ring;
+    C = nearest surf on a different ring within ``ring_span``.
+    Returns (ia, ib, ic, valid [Q]).
+    """
+    d = pairwise_sq_dist(q_xyz, ref.xyz)
+    d = jnp.where(ref.mask[None, :], d, BIG)
+    ia = jnp.argmin(d, axis=-1)
+    da = jnp.take_along_axis(d, ia[:, None], -1)[:, 0]
+    ring_a = ref.ring[ia]
+
+    same_ring = ref.ring[None, :] == ring_a[:, None]
+    not_a = jnp.arange(ref.capacity)[None, :] != ia[:, None]
+    d_b = jnp.where(same_ring & not_a, d, BIG)
+    ib = jnp.argmin(d_b, axis=-1)
+    db = jnp.take_along_axis(d_b, ib[:, None], -1)[:, 0]
+
+    ring_diff = jnp.abs(
+        ref.ring[None, :].astype(jnp.float32) - ring_a[:, None].astype(jnp.float32)
+    )
+    adj = (ring_diff > 0.0) & (ring_diff <= ring_span)
+    d_c = jnp.where(adj, d, BIG)
+    ic = jnp.argmin(d_c, axis=-1)
+    dc = jnp.take_along_axis(d_c, ic[:, None], -1)[:, 0]
+
+    valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
+    return ia, ib, ic, valid

@@ -1,0 +1,180 @@
+"""Scan-to-scan Gauss-Newton odometry solve, batched.
+
+TPU-native re-design of ``LaserOdometry::scanMatch``
+(/root/reference/L_SLAM/src/odometry/LaserOdometry.cpp:328-647): per iteration,
+motion-compensate the sharp/flat features to the sweep start, find point-to-line
+and point-to-plane correspondences against the previous sweep's feature clouds
+(refreshed every 5th iteration exactly like the reference, :358), build masked
+6-DoF normal equations, apply the iteration-0 degeneracy projector, and update
+the twist until deltaR/deltaT fall below the abort thresholds (:636-644).
+
+Two solver modes:
+* ``parity_mode=False`` (default, TPU-native): exact per-point Jacobians of the
+  in-sweep warp via forward-mode autodiff (each point linearized at its own
+  time fraction), full GN steps.  Converges in a handful of iterations.
+* ``parity_mode=True``: the reference's closed-form Jacobian evaluated at s=1
+  with the -0.05 residual under-relaxation (:512-575), reproducing its exact
+  iteration dynamics.
+
+Batch over sweeps with jax.vmap (see batch_odometry_solve).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OdometryConfig
+from ..utils import twist
+from ..utils.cloud import Cloud
+from . import gauss_newton as gn
+from . import neighbors, residuals
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Correspondences:
+    ia_c: jax.Array
+    ib_c: jax.Array
+    ok_c: jax.Array
+    ia_s: jax.Array
+    ib_s: jax.Array
+    ic_s: jax.Array
+    ok_s: jax.Array
+
+
+def _reference_jacobian_rows(x, points, coeff_dir):
+    """The reference's closed-form Jacobian at s=1 (LaserOdometry.cpp:557-575).
+
+    The same rows as the exact map-warp Jacobian d(Rz Ry Rx p + t)/d(params)
+    dotted with coeff — the reference applies it to the start-warp too.
+    """
+    srx, crx = jnp.sin(x[0]), jnp.cos(x[0])
+    sry, cry = jnp.sin(x[1]), jnp.cos(x[1])
+    srz, crz = jnp.sin(x[2]), jnp.cos(x[2])
+    px, py, pz = points[..., 0], points[..., 1], points[..., 2]
+    cx, cy, cz = coeff_dir[..., 0], coeff_dir[..., 1], coeff_dir[..., 2]
+
+    arx = (
+        ((crz * sry * crx + srz * srx) * py + (srz * crx - crz * sry * srx) * pz) * cx
+        + ((srz * sry * crx - crz * srx) * py - (srz * sry * srx + crz * crx) * pz) * cy
+        + (cry * crx * py - cry * srx * pz) * cz
+    )
+    ary = (
+        (-crz * sry * px + crz * cry * srx * py + crz * cry * crx * pz) * cx
+        + (-srz * sry * px + srz * cry * srx * py + srz * cry * crx * pz) * cy
+        + (-cry * px - sry * srx * py - sry * crx * pz) * cz
+    )
+    arz = (
+        (-srz * cry * px - (srz * sry * srx + crz * crx) * py + (crz * srx - srz * sry * crx) * pz) * cx
+        + (crz * cry * px + (crz * sry * srx - srz * crx) * py + (crz * sry * crx + srz * srx) * pz) * cy
+    )
+    return jnp.stack([arx, ary, arz, cx, cy, cz], axis=-1)
+
+
+def _exact_jacobian_rows(x, pts, s, coeff_dir):
+    """Exact d(coeff . warp_to_start(x, p, s))/dx rows via jacfwd: [N, 6]."""
+    dW = jax.jacfwd(lambda xx: twist.warp_to_start(xx, pts, s))(x)  # [N, 3, 6]
+    return jnp.einsum("ni,nio->no", coeff_dir, dW)
+
+
+def _find_correspondences(x, sharp: Cloud, flat: Cloud, last_corner: Cloud,
+                          last_surf: Cloud, cfg: OdometryConfig):
+    pc = twist.warp_to_start(x, sharp.xyz, sharp.rel_time)
+    ps = twist.warp_to_start(x, flat.xyz, flat.rel_time)
+    ia_c, ib_c, ok_c = neighbors.corner_pairs(
+        pc, last_corner, cfg.nn_sq_dist_max, cfg.ring_span
+    )
+    ia_s, ib_s, ic_s, ok_s = neighbors.surf_triples(
+        ps, last_surf, cfg.nn_sq_dist_max, cfg.ring_span
+    )
+    return Correspondences(
+        ia_c, ib_c, ok_c & sharp.mask, ia_s, ib_s, ic_s, ok_s & flat.mask
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "parity_mode"))
+def odometry_solve(
+    sharp: Cloud,
+    flat: Cloud,
+    last_corner: Cloud,
+    last_surf: Cloud,
+    x0,
+    cfg: OdometryConfig = OdometryConfig(),
+    parity_mode: bool = False,
+):
+    """Solve the in-sweep motion twist.  Returns (x [6], GNState diagnostics).
+
+    ``x`` parameterizes the sweep motion exactly as the reference ``_transform``
+    (see utils/twist.py): warp_to_start(x, p, s) projects a point captured at
+    time fraction s back to the sweep-start frame.
+    """
+
+    def body(it, carry):
+        st, corr = carry
+
+        corr = jax.lax.cond(
+            it % cfg.refresh_every == 0,
+            lambda _: _find_correspondences(st.x, sharp, flat, last_corner, last_surf, cfg),
+            lambda _: corr,
+            None,
+        )
+
+        pc = twist.warp_to_start(st.x, sharp.xyz, sharp.rel_time)
+        ps = twist.warp_to_start(st.x, flat.xyz, flat.rel_time)
+
+        A_c = last_corner.xyz[corr.ia_c]
+        B_c = last_corner.xyz[corr.ib_c]
+        dir_c, res_c, w_ok_c = residuals.corner_coeff_odometry(
+            A_c, B_c, pc, it, cfg.corner_weight_slope, cfg.weight_min
+        )
+        ok_c = w_ok_c & corr.ok_c
+
+        A_s = last_surf.xyz[corr.ia_s]
+        B_s = last_surf.xyz[corr.ib_s]
+        C_s = last_surf.xyz[corr.ic_s]
+        dir_s, res_s, w_ok_s = residuals.surf_coeff_odometry(
+            A_s, B_s, C_s, ps, it, cfg.corner_weight_slope, cfg.weight_min
+        )
+        ok_s = w_ok_s & corr.ok_s
+
+        if parity_mode:
+            J_c = _reference_jacobian_rows(st.x, sharp.xyz, dir_c)
+            J_s = _reference_jacobian_rows(st.x, flat.xyz, dir_s)
+            scale = cfg.residual_scale
+        else:
+            J_c = _exact_jacobian_rows(st.x, sharp.xyz, sharp.rel_time, dir_c)
+            J_s = _exact_jacobian_rows(st.x, flat.xyz, flat.rel_time, dir_s)
+            scale = 1.0
+
+        J = jnp.concatenate([J_c, J_s], axis=0)
+        b = jnp.concatenate([-scale * res_c, -scale * res_s], axis=0)
+        ok = jnp.concatenate([ok_c, ok_s], axis=0)
+
+        JtJ, Jtb, n_valid = gn.assemble_normal_eqs(J, b, ok)
+        st = gn.gn_step(
+            st,
+            JtJ,
+            Jtb,
+            n_valid,
+            it,
+            cfg.eig_threshold,
+            cfg.delta_r_abort,
+            cfg.delta_t_abort,
+            cfg.min_matched,
+        )
+        return st, corr
+
+    st0 = gn.gn_init(x0)
+    corr0 = _find_correspondences(x0, sharp, flat, last_corner, last_surf, cfg)
+    st, _ = jax.lax.fori_loop(0, cfg.max_iterations, body, (st0, corr0))
+    return st.x, st
+
+
+def batch_odometry_solve(sharp, flat, last_corner, last_surf, x0, cfg, parity_mode=False):
+    """vmapped odometry solve over a leading batch dim of all inputs."""
+    fn = lambda a, b, c, d, x: odometry_solve(a, b, c, d, x, cfg, parity_mode)
+    return jax.vmap(fn)(sharp, flat, last_corner, last_surf, x0)

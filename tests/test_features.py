@@ -1,0 +1,121 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cooper_mapper_tpu.config import RegistrationConfig
+from cooper_mapper_tpu.io import sim
+from cooper_mapper_tpu.ops import features
+from cooper_mapper_tpu.ops.voxel import voxel_downsample
+from cooper_mapper_tpu.utils import cloud as cloud_lib
+
+
+CFG = RegistrationConfig(n_rings=16, max_points_per_ring=512)
+
+
+def _make_sweep(width=512, distortion=False):
+    world = sim.make_room_world(seed=1)
+    pose = jnp.eye(4).at[1, 3].set(1.5)
+    return world, sim.scan_sweep(
+        world, pose, pose, n_rings=16, width=width, distortion=distortion
+    )
+
+
+class TestCurvature:
+    def test_flat_line_zero_curvature(self):
+        # colinear equally spaced points -> zero curvature
+        xyz = jnp.stack([jnp.linspace(0, 10, 64), jnp.zeros(64), jnp.ones(64)], -1)[None]
+        c = features.curvature(xyz, 5)
+        assert float(jnp.max(c[0, 5:-5])) < 1e-6
+
+    def test_corner_peak(self):
+        # a right-angle corner has high curvature at the apex
+        left = jnp.stack([jnp.linspace(-3, 0, 32), jnp.zeros(32), 5 - jnp.linspace(-3, 0, 32) * 0], -1)
+        xs = jnp.linspace(-3, 0, 32)
+        left = jnp.stack([xs, jnp.zeros(32), jnp.full((32,), 5.0)], -1)
+        zs = 5.0 - jnp.linspace(0, 3, 32)
+        right = jnp.stack([jnp.zeros(32), jnp.zeros(32), zs], -1)
+        xyz = jnp.concatenate([left, right[1:]], 0)[None]
+        c = features.curvature(xyz, 5)
+        apex = 31
+        window = c[0, apex - 5 : apex + 6]
+        assert float(jnp.argmax(c[0, 6:-6])) + 6 in range(apex - 5, apex + 6)
+        assert float(jnp.max(window)) > 0.1
+
+
+class TestExtractFeatures:
+    def test_shapes_and_masks(self):
+        _, sweep = _make_sweep()
+        fc = features.extract_features(sweep, CFG)
+        assert fc.sharp.capacity == CFG.max_sharp
+        assert fc.less_sharp.capacity == CFG.max_less_sharp
+        assert fc.flat.capacity == CFG.max_flat
+        assert fc.less_flat.capacity == CFG.max_less_flat
+        # masked-out points are at the FAR sentinel
+        for c in [fc.sharp, fc.less_sharp, fc.flat, fc.less_flat]:
+            xyz = np.array(c.xyz)
+            mask = np.array(c.mask)
+            assert np.all(np.abs(xyz[~mask]) >= 1e5)
+
+    def test_finds_features(self):
+        _, sweep = _make_sweep()
+        fc = features.extract_features(sweep, CFG)
+        assert int(fc.sharp.count()) > 10        # pillar edges exist
+        assert int(fc.flat.count()) > 50         # walls/floor everywhere
+        assert int(fc.less_flat.count()) > int(fc.flat.count())
+        assert int(fc.less_sharp.count()) >= int(fc.sharp.count())
+
+    def test_flat_points_lie_on_world_planes(self):
+        world, sweep = _make_sweep()
+        fc = features.extract_features(sweep, CFG)
+        xyz = np.array(fc.flat.xyz) + np.array([0, 1.5, 0])  # sensor -> world
+        mask = np.array(fc.flat.mask)
+        n = np.array(world.normals)
+        o = np.array(world.origin)
+        # distance to the nearest plane (unbounded) should be ~0 for flats
+        d = np.abs((xyz[:, None, :] - o[None]) @ n[..., None].squeeze(-1).T)
+        d = np.abs(np.einsum("np,mp->nm", xyz, n) - np.einsum("mp,mp->m", o, n))
+        dmin = d.min(1)
+        assert np.quantile(dmin[mask], 0.9) < 0.05
+
+    def test_sharp_points_near_pillar_edges(self):
+        world, sweep = _make_sweep()
+        fc = features.extract_features(sweep, CFG)
+        xyz = np.array(fc.sharp.xyz) + np.array([0, 1.5, 0])
+        mask = np.array(fc.sharp.mask)
+        o = np.array(world.origin)
+        u = np.array(world.u)
+        v = np.array(world.v)
+        # pillar faces are all rects after the first 6; their vertical edges are
+        # at origin and origin+u for vertical-v rects
+        pf = slice(6, None)
+        edges = np.concatenate([o[pf], o[pf] + u[pf]], 0)  # [E, 3] bottom corners
+        exy = edges[:, [0, 2]]
+        sx = xyz[mask][:, [0, 2]]
+        d = np.linalg.norm(sx[:, None] - exy[None], axis=-1).min(1)
+        # most sharp features should be close to a vertical pillar edge in plan view
+        assert np.quantile(d, 0.8) < 0.3
+
+    def test_batched_vmap(self):
+        _, sweep = _make_sweep(width=256)
+        batched = jax.tree.map(lambda a: jnp.stack([a, a]), sweep)
+        fc = jax.vmap(lambda s: features.extract_features(s, CFG))(batched)
+        assert fc.sharp.xyz.shape[0] == 2
+        single = features.extract_features(sweep, CFG)
+        np.testing.assert_allclose(fc.sharp.xyz[0], single.sharp.xyz, atol=1e-6)
+
+
+class TestVoxelDownsample:
+    def test_merges_within_voxel(self):
+        pts = jnp.array([[0.0, 0, 0], [0.05, 0, 0], [5.0, 0, 0]])
+        c = cloud_lib.from_points(pts, capacity=8)
+        out = voxel_downsample(c, leaf=0.2)
+        assert int(out.count()) == 2
+        got = np.sort(np.array(out.xyz[np.array(out.mask)])[:, 0])
+        np.testing.assert_allclose(got, [0.025, 5.0], atol=1e-6)
+
+    def test_invalid_points_ignored(self):
+        pts = jnp.array([[0.0, 0, 0], [1000.0, 0, 0]])
+        c = cloud_lib.from_points(pts, capacity=4)
+        c = cloud_lib.Cloud(c.xyz, c.mask.at[1].set(False), c.ring, c.rel_time)
+        out = voxel_downsample(c, leaf=0.2)
+        assert int(out.count()) == 1

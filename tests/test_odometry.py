@@ -1,0 +1,128 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cooper_mapper_tpu.config import OdometryConfig, RegistrationConfig
+from cooper_mapper_tpu.io import sim
+from cooper_mapper_tpu.ops import features, odometry
+from cooper_mapper_tpu.utils import se3, twist
+
+
+CFG_REG = RegistrationConfig(n_rings=16, max_points_per_ring=512)
+CFG_ODO = OdometryConfig()
+
+
+def _pose(x=0.0, y=1.5, z=0.0, yaw=0.0):
+    c, s = np.cos(yaw), np.sin(yaw)
+    return jnp.array(
+        [[c, 0, s, x], [0, 1, 0, y], [-s, 0, c, z], [0, 0, 0, 1]], jnp.float32
+    )
+
+
+def _sweep_pair(motion, world=None, distortion=True, width=512):
+    """Two consecutive sweeps; returns (prev_features, cur_features, gt_twist).
+
+    Sweep 0: pose0 -> pose1; sweep 1: pose1 -> pose2 with pose2 = pose1 @ motion.
+    The odometry twist for sweep 1 describes the in-sweep motion pose1 -> pose2.
+    """
+    world = world or sim.make_room_world(seed=7)
+    p0 = _pose()
+    p1 = p0  # previous sweep static: its end frame == its start frame
+    p2 = p1 @ motion
+    s_prev = sim.scan_sweep(world, p0, p1, n_rings=16, width=width, distortion=distortion)
+    s_cur = sim.scan_sweep(world, p1, p2, n_rings=16, width=width, distortion=distortion)
+    f_prev = features.extract_features(s_prev, CFG_REG)
+    f_cur = features.extract_features(s_cur, CFG_REG)
+    gt = twist.from_relative_motion(motion)
+    return f_prev, f_cur, gt
+
+
+class TestTwistMotionRoundtrip:
+    def test_roundtrip(self):
+        x = jnp.array([0.02, -0.04, 0.03, 0.3, -0.2, 0.5])
+        M = twist.to_relative_motion(x)
+        x2 = twist.from_relative_motion(M)
+        np.testing.assert_allclose(x, x2, atol=1e-5)
+
+    def test_warp_consistency(self):
+        # warp_to_start at s=1 must equal applying M to the point
+        x = jnp.array([0.02, -0.04, 0.03, 0.3, -0.2, 0.5])
+        M = twist.to_relative_motion(x)
+        p = jax.random.normal(jax.random.PRNGKey(0), (6, 3)) * 5
+        warped = twist.warp_to_start(x, p, jnp.ones(6))
+        np.testing.assert_allclose(warped, se3.apply(M, p), atol=1e-5)
+
+
+class TestOdometrySolve:
+    @pytest.mark.parametrize(
+        "motion",
+        [
+            _pose(x=0.25, y=0.0, z=0.35) @ jnp.eye(4),
+            _pose(x=0.0, y=0.0, z=0.5, yaw=0.05),
+            _pose(x=-0.2, y=0.03, z=0.3, yaw=-0.04),
+        ],
+    )
+    def test_recovers_motion(self, motion):
+        motion = jnp.asarray(motion)
+        f_prev, f_cur, gt = _sweep_pair(motion)
+        x, st = odometry.odometry_solve(
+            f_cur.sharp, f_cur.flat, f_prev.less_sharp, f_prev.less_flat,
+            jnp.zeros(6), CFG_ODO,
+        )
+        M_est = twist.to_relative_motion(x)
+        err = np.array(se3.se3_log(se3.inverse(motion) @ M_est))
+        trans_err = np.linalg.norm(err[:3])
+        rot_err = np.linalg.norm(err[3:])
+        # accuracy is bounded by correspondence discretization at the test's
+        # coarse 512-column azimuth grid (0.7 deg); 1024+ columns reach ~6 mm
+        assert trans_err < 0.05, f"trans err {trans_err}, x={x}, gt={gt}"
+        assert rot_err < 0.01, f"rot err {rot_err}"
+        assert int(st.n_matched) > 50
+
+    def test_no_motion(self):
+        f_prev, f_cur, _ = _sweep_pair(jnp.eye(4))
+        x, st = odometry.odometry_solve(
+            f_cur.sharp, f_cur.flat, f_prev.less_sharp, f_prev.less_flat,
+            jnp.zeros(6), CFG_ODO,
+        )
+        assert float(jnp.linalg.norm(x[3:])) < 0.01
+        assert bool(st.converged)
+
+    def test_batched(self):
+        m1 = _pose(x=0.25, y=0.0, z=0.35)
+        m2 = _pose(x=0.0, z=0.4, y=0.0, yaw=0.03)
+        fp1, fc1, g1 = _sweep_pair(m1)
+        fp2, fc2, g2 = _sweep_pair(m2)
+        stack = lambda a, b: jax.tree.map(lambda u, v: jnp.stack([u, v]), a, b)
+        xs, st = odometry.batch_odometry_solve(
+            stack(fc1.sharp, fc2.sharp),
+            stack(fc1.flat, fc2.flat),
+            stack(fp1.less_sharp, fp2.less_sharp),
+            stack(fp1.less_flat, fp2.less_flat),
+            jnp.zeros((2, 6)),
+            CFG_ODO,
+        )
+        M1 = twist.to_relative_motion(xs[0])
+        M2 = twist.to_relative_motion(xs[1])
+        assert float(jnp.linalg.norm(se3.se3_log(se3.inverse(m1) @ M1))) < 0.05
+        assert float(jnp.linalg.norm(se3.se3_log(se3.inverse(m2) @ M2))) < 0.05
+
+    def test_degenerate_geometry_guard(self):
+        # a single infinite plane constrains only 3 DoF: solver must not blow up
+        o = np.array([[-50.0, 0.0, -50.0]], np.float32)
+        u = np.array([[100.0, 0, 0]], np.float32)
+        v = np.array([[0.0, 0, 100.0]], np.float32)
+        world = sim.PlaneWorld(jnp.asarray(o), jnp.asarray(u), jnp.asarray(v))
+        motion = _pose(x=0.2, y=0.0, z=0.2)
+        f_prev, f_cur, _ = _sweep_pair(motion, world=world)
+        x, st = odometry.odometry_solve(
+            f_cur.sharp, f_cur.flat, f_prev.less_sharp, f_prev.less_flat,
+            jnp.zeros(6), CFG_ODO,
+        )
+        assert np.all(np.isfinite(np.array(x)))
+        assert bool(st.is_degenerate)
+        # unconstrained in-plane translation must stay ~0 (projected out)
+        assert float(jnp.abs(x[4])) < 0.5  # vertical (y) IS constrained
