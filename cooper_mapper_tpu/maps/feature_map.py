@@ -1,0 +1,277 @@
+"""Device-resident cube-grid feature map.
+
+TPU-native re-design of ``FeatureMap<PointT>``
+(/root/reference/L_SLAM/src/util/FeatureMap.h:52-691): a 3D grid of fixed
+capacity point cubes holding separate corner and surface feature clouds, with
+
+* world->cube indexing (worldToCube, FeatureMap.h:475-487),
+* recentring so the sensor stays >= ``margin`` cubes from the boundary
+  (update/shift, :232-254, :354-376) — implemented as a roll over the cube
+  axes with wrapped-in slabs invalidated,
+* active-area surround gather (computeActiveAera/getSurroundFeature,
+  :256-352) — a static neighborhood of cube slots around the sensor gathered
+  into one fixed-capacity Cloud,
+* voxel re-deduplication of cubes (downsizeValidCloud, :289-306),
+* scatter insertion of registered feature clouds (addFeatureCloud, :219-230).
+
+Everything is jit-compatible: cube counts are dense arrays, insertion is a
+sort + rank + scatter, no host round trips.  Persistence to the reference's
+one-file-per-cube manifest format lives in io/map_io.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MapConfig
+from ..utils import cloud as cloud_lib
+from ..utils.cloud import Cloud
+from ..ops.voxel import voxel_downsample
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CubeCloud:
+    """One feature class stored across all cubes: [NC, cap, ...]."""
+
+    xyz: jax.Array    # [NC, cap, 3]
+    mask: jax.Array   # [NC, cap]
+    count: jax.Array  # [NC] valid points, packed to the front
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FeatureMapState:
+    corner: CubeCloud
+    surf: CubeCloud
+    origin: jax.Array  # [3] int32 — world cube index of grid slot (0, 0, 0)
+
+
+def _empty_cube_cloud(nc: int, cap: int) -> CubeCloud:
+    return CubeCloud(
+        xyz=jnp.full((nc, cap, 3), cloud_lib.FAR, jnp.float32),
+        mask=jnp.zeros((nc, cap), bool),
+        count=jnp.zeros((nc,), jnp.int32),
+    )
+
+
+def create(cfg: MapConfig) -> FeatureMapState:
+    nx, ny, nz = cfg.n_cubes
+    nc = nx * ny * nz
+    # center the grid on the world origin
+    origin = -jnp.array([nx // 2, ny // 2, nz // 2], jnp.int32)
+    return FeatureMapState(
+        corner=_empty_cube_cloud(nc, cfg.corner_cube_capacity),
+        surf=_empty_cube_cloud(nc, cfg.surf_cube_capacity),
+        origin=origin,
+    )
+
+
+def world_to_cube(xyz, cfg: MapConfig):
+    """World coords -> integer world-cube indices (floor at cube centers).
+
+    Matches worldToCube's rounding: cube i covers
+    [ (i - 0.5)*size, (i + 0.5)*size ) (FeatureMap.h:475-487).
+    """
+    return jnp.floor(xyz / cfg.cube_size + 0.5).astype(jnp.int32)
+
+
+def _grid_index(cube_idx, origin, cfg: MapConfig):
+    """World cube index [.., 3] -> flat grid slot + in-grid mask."""
+    nx, ny, nz = cfg.n_cubes
+    local = cube_idx - origin
+    in_grid = (
+        (local[..., 0] >= 0) & (local[..., 0] < nx)
+        & (local[..., 1] >= 0) & (local[..., 1] < ny)
+        & (local[..., 2] >= 0) & (local[..., 2] < nz)
+    )
+    flat = (local[..., 0] * ny + local[..., 1]) * nz + local[..., 2]
+    return jnp.where(in_grid, flat, nx * ny * nz), in_grid
+
+
+def _insert(cc: CubeCloud, xyz, mask, cube_flat, nc: int) -> CubeCloud:
+    """Scatter points into their cubes behind existing counts."""
+    cap = cc.xyz.shape[1]
+    n = xyz.shape[0]
+    key = jnp.where(mask, cube_flat, nc)       # invalid -> overflow bucket
+    order = jnp.argsort(key)
+    key_s = key[order]
+    xyz_s = xyz[order]
+    ok_s = key_s < nc
+
+    new_seg = jnp.concatenate([jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    # rank within segment = index - index of segment start
+    idx = jnp.arange(n)
+    seg_start = jnp.where(new_seg, idx, 0)
+    seg_start = jax.lax.associative_scan(jnp.maximum, seg_start)
+    rank = idx - seg_start
+
+    slot = cc.count[jnp.clip(key_s, 0, nc - 1)] + rank
+    keep = ok_s & (slot < cap)
+    flat_pos = jnp.where(keep, jnp.clip(key_s, 0, nc - 1) * cap + slot, nc * cap)
+
+    xyz_flat = cc.xyz.reshape(nc * cap, 3)
+    mask_flat = cc.mask.reshape(nc * cap)
+    # one guard row absorbs dropped points
+    xyz_flat = jnp.concatenate([xyz_flat, jnp.zeros((1, 3), xyz.dtype)])
+    mask_flat = jnp.concatenate([mask_flat, jnp.zeros((1,), bool)])
+    xyz_flat = xyz_flat.at[flat_pos].set(xyz_s)
+    mask_flat = mask_flat.at[flat_pos].set(keep)
+
+    added = jax.ops.segment_sum(
+        keep.astype(jnp.int32), jnp.clip(key_s, 0, nc), num_segments=nc + 1
+    )[:nc]
+    return CubeCloud(
+        xyz=xyz_flat[:-1].reshape(nc, cap, 3),
+        mask=mask_flat[:-1].reshape(nc, cap),
+        count=cc.count + added,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def add_feature_cloud(
+    state: FeatureMapState, corner_world: Cloud, surf_world: Cloud, cfg: MapConfig
+) -> FeatureMapState:
+    """Insert registered (world-frame) feature clouds (addFeatureCloud)."""
+    nx, ny, nz = cfg.n_cubes
+    nc = nx * ny * nz
+    c_flat, c_ok = _grid_index(world_to_cube(corner_world.xyz, cfg), state.origin, cfg)
+    s_flat, s_ok = _grid_index(world_to_cube(surf_world.xyz, cfg), state.origin, cfg)
+    return FeatureMapState(
+        corner=_insert(state.corner, corner_world.xyz, corner_world.mask & c_ok, c_flat, nc),
+        surf=_insert(state.surf, surf_world.xyz, surf_world.mask & s_ok, s_flat, nc),
+        origin=state.origin,
+    )
+
+
+def _roll_invalidate(cc: CubeCloud, shift, cfg: MapConfig) -> CubeCloud:
+    """Shift grid content by -shift cubes (sensor moved +shift), clearing
+    slabs that wrapped around."""
+    nx, ny, nz = cfg.n_cubes
+    cap = cc.xyz.shape[1]
+
+    def grid(a, trailing):
+        return a.reshape((nx, ny, nz) + trailing)
+
+    xyz = grid(cc.xyz, (cap, 3))
+    mask = grid(cc.mask, (cap,))
+    count = grid(cc.count, ())
+
+    for ax in range(3):
+        xyz = jnp.roll(xyz, -shift[ax], axis=ax)
+        mask = jnp.roll(mask, -shift[ax], axis=ax)
+        count = jnp.roll(count, -shift[ax], axis=ax)
+        n_ax = (nx, ny, nz)[ax]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), ax)
+        # after roll by -s: invalid slots are those that wrapped:
+        #   s > 0 -> slots pos >= n - s ; s < 0 -> slots pos < -s
+        s = shift[ax]
+        bad = jnp.where(s >= 0, pos >= n_ax - s, pos < -s)
+        mask = mask & ~bad[..., None]
+        count = jnp.where(bad, 0, count)
+        xyz = jnp.where(bad[..., None, None], cloud_lib.FAR, xyz)
+
+    nc = nx * ny * nz
+    return CubeCloud(
+        xyz=xyz.reshape(nc, cap, 3), mask=mask.reshape(nc, cap), count=count.reshape(nc)
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def recenter(state: FeatureMapState, sensor_pos, cfg: MapConfig) -> FeatureMapState:
+    """Keep the sensor >= margin cubes inside the grid (update/shift)."""
+    nx, ny, nz = cfg.n_cubes
+    dims = jnp.array([nx, ny, nz], jnp.int32)
+    m = cfg.margin_cubes
+    local = world_to_cube(sensor_pos, cfg) - state.origin
+    lo = jnp.minimum(local - m, 0)              # how far below margin
+    hi = jnp.maximum(local - (dims - 1 - m), 0)  # how far above
+    shift = lo + hi                              # cubes to move the window by
+    return FeatureMapState(
+        corner=_roll_invalidate(state.corner, shift, cfg),
+        surf=_roll_invalidate(state.surf, shift, cfg),
+        origin=state.origin + shift,
+    )
+
+
+def _surround_offsets(cfg: MapConfig):
+    """Static neighborhood of cube offsets gathered as the surround."""
+    import numpy as np
+
+    r = int(np.ceil(cfg.valid_distance / cfg.cube_size))
+    nx, ny, nz = cfg.n_cubes
+    rx, ry, rz = min(r, nx // 2), min(r, ny // 2), min(r, nz // 2)
+    offs = [
+        (dx, dy, dz)
+        for dx in range(-rx, rx + 1)
+        for dy in range(-ry, ry + 1)
+        for dz in range(-rz, rz + 1)
+        if (dx * dx + dz * dz) * cfg.cube_size**2 <= (cfg.valid_distance + cfg.cube_size) ** 2
+    ]
+    return np.array(offs, np.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def get_surround(state: FeatureMapState, sensor_pos, cfg: MapConfig):
+    """Gather active cubes around the sensor into (corner, surf) Clouds.
+
+    The fixed offset neighborhood replaces computeActiveAera's per-corner
+    150 m check; out-of-grid slots contribute nothing.
+    """
+    nx, ny, nz = cfg.n_cubes
+    nc = nx * ny * nz
+    offs = jnp.asarray(_surround_offsets(cfg))            # [A, 3]
+    center = world_to_cube(sensor_pos, cfg)
+    flat, ok = _grid_index(center[None, :] + offs, state.origin, cfg)  # [A]
+    flat = jnp.where(ok, flat, 0)
+
+    def gather(cc: CubeCloud, capacity):
+        xyz = cc.xyz[flat]                                # [A, cap, 3]
+        mask = cc.mask[flat] & ok[:, None]
+        c = cloud_lib.make(
+            jnp.where(mask[..., None], xyz, cloud_lib.FAR).reshape(-1, 3),
+            mask.reshape(-1),
+        )
+        return cloud_lib.compact(c, capacity)
+
+    return (
+        gather(state.corner, cfg.surround_corner_capacity),
+        gather(state.surf, cfg.surround_surf_capacity),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def dedup_active(state: FeatureMapState, sensor_pos, cfg: MapConfig) -> FeatureMapState:
+    """Voxel re-deduplicate the cubes around the sensor (downsizeValidCloud).
+
+    Applied periodically by the mapping pipeline to bound cube growth.
+    """
+    nx, ny, nz = cfg.n_cubes
+    nc = nx * ny * nz
+    offs = jnp.asarray(_surround_offsets(cfg))
+    center = world_to_cube(sensor_pos, cfg)
+    flat, ok = _grid_index(center[None, :] + offs, state.origin, cfg)
+    flat = jnp.where(ok, flat, nc)  # out-of-grid -> guard row
+
+    def process(cc: CubeCloud, leaf):
+        cap = cc.xyz.shape[1]
+        # gather cubes (+guard), dedup each, scatter back
+        xyz_g = jnp.concatenate([cc.xyz, jnp.full((1, cap, 3), cloud_lib.FAR)], 0)
+        mask_g = jnp.concatenate([cc.mask, jnp.zeros((1, cap), bool)], 0)
+        sub = jax.vmap(
+            lambda x, m: voxel_downsample(cloud_lib.make(x, m), leaf)
+        )(xyz_g[flat], mask_g[flat])
+        xyz_new = xyz_g.at[flat].set(sub.xyz)[:-1]
+        mask_new = mask_g.at[flat].set(sub.mask)[:-1]
+        count_new = jnp.sum(mask_new, axis=-1, dtype=jnp.int32)
+        return CubeCloud(xyz=xyz_new, mask=mask_new, count=count_new)
+
+    return FeatureMapState(
+        corner=process(state.corner, cfg.corner_leaf),
+        surf=process(state.surf, cfg.surf_leaf),
+        origin=state.origin,
+    )

@@ -18,13 +18,18 @@ import jax.numpy as jnp
 def assemble_normal_eqs(J, b, w_valid):
     """J: [..., N, 6], b: [..., N], w_valid: [..., N] bool or float.
 
+    Invalid rows are hard-zeroed with jnp.where (not multiplied) — masked-out
+    rows may hold NaN/Inf from sentinel geometry, and 0 * NaN = NaN would
+    otherwise poison the whole system.
+
     Returns (JtJ [..., 6, 6], Jtb [..., 6], n_valid [...]).
     """
-    w = w_valid.astype(J.dtype)
-    Jw = J * w[..., None]
-    JtJ = jnp.einsum("...ni,...nj->...ij", Jw, J)
-    Jtb = jnp.einsum("...ni,...n->...i", Jw, b)
-    return JtJ, Jtb, jnp.sum(w, axis=-1)
+    valid = (w_valid if w_valid.dtype == bool else w_valid > 0)
+    Jm = jnp.where(valid[..., None], J, 0.0)
+    bm = jnp.where(valid, b, 0.0)
+    JtJ = jnp.einsum("...ni,...nj->...ij", Jm, Jm)
+    Jtb = jnp.einsum("...ni,...n->...i", Jm, bm)
+    return JtJ, Jtb, jnp.sum(valid.astype(J.dtype), axis=-1)
 
 
 def solve_6x6(JtJ, Jtb, damping=0.0):

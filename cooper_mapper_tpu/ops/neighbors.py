@@ -47,6 +47,25 @@ def knn(q_xyz, r_xyz, r_mask, k: int):
     return idx, -neg
 
 
+def knn_chunked(q_xyz, r_xyz, r_mask, k: int, chunk: int = 512):
+    """k-NN with the [Q, M] distance tile streamed in query chunks.
+
+    Keeps peak memory at [chunk, M] — the reference cloud (a surround map of
+    tens of thousands of points) stays resident while query tiles stream
+    through the MXU.  Q must be a multiple of ``chunk`` or it is padded.
+    """
+    Q = q_xyz.shape[0]
+    pad = (-Q) % chunk
+    qp = jnp.pad(q_xyz, ((0, pad), (0, 0)))
+    qc = qp.reshape(-1, chunk, 3)
+
+    def one(qt):
+        return knn(qt, r_xyz, r_mask, k)
+
+    idx, d = jax.lax.map(one, qc)
+    return idx.reshape(-1, k)[:Q], d.reshape(-1, k)[:Q]
+
+
 def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5):
     """Odometry corner correspondences (LaserOdometry.cpp:358-408).
 

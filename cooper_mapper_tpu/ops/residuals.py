@@ -108,12 +108,18 @@ def fit_line(neighbors, mask=None, eig_ratio=5.0, half_length=0.1):
     return A, B, valid
 
 
-def fit_plane(neighbors, mask=None, max_dist=0.2, eps=1e-12):
+def fit_plane(neighbors, mask=None, max_dist=0.2, planar_ratio=0.05, eps=1e-12):
     """5-point least-squares plane (findPlane, feature_utils.h:156-204).
 
     Solves n . p = -1 in the least-squares sense, normalizes, sets
     d = -n . centroid, and rejects if any neighbor is further than
     ``max_dist`` from the plane.  Returns (plane [..., 4], valid).
+
+    Additionally rejects *collinear* neighbor sets (mid/max covariance
+    eigenvalue ratio below ``planar_ratio``).  The reference has no such
+    check; with sparse maps its LSQ fit on five points from a single scan
+    ring is ill-conditioned and produces arbitrary normals that bias the
+    solve toward ring alignment.  Set ``planar_ratio=0`` for strict parity.
     """
     k = neighbors.shape[-2]
     AtA = jnp.einsum("...ki,...kj->...ij", neighbors, neighbors)
@@ -127,6 +133,11 @@ def fit_plane(neighbors, mask=None, max_dist=0.2, eps=1e-12):
     d = -jnp.sum(n * centroid, axis=-1)
     dist = jnp.abs(jnp.einsum("...ki,...i->...k", neighbors, n) + d[..., None])
     valid = jnp.all(dist <= max_dist, axis=-1)
+    if planar_ratio > 0.0:
+        a = neighbors - centroid[..., None, :]
+        cov = jnp.einsum("...ki,...kj->...ij", a, a) / k
+        evals = jnp.linalg.eigvalsh(cov)
+        valid = valid & (evals[..., 1] > planar_ratio * evals[..., 2])
     if mask is not None:
         valid = valid & mask
     plane = jnp.concatenate([n, d[..., None]], axis=-1)

@@ -281,7 +281,7 @@ def so3_exp(w):
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + 1e-30)
     W = skew(w)
-    small = theta < 1e-4
+    small = theta < 1e-2
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-30))
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -295,7 +295,7 @@ def so3_log(R):
     theta = jnp.arccos(cos_theta)
     w_skew = 0.5 * (R - jnp.swapaxes(R, -1, -2))
     vee = jnp.stack([w_skew[..., 2, 1], w_skew[..., 0, 2], w_skew[..., 1, 0]], -1)
-    small = theta < 1e-4
+    small = theta < 1e-2
     # theta/sin(theta), safe
     scale = jnp.where(small, 1.0 + theta**2 / 6.0, theta / jnp.sin(jnp.where(small, 1.0, theta)))
     return vee * scale[..., None]
@@ -308,7 +308,7 @@ def se3_exp(xi):
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + 1e-30)
     W = skew(w)
-    small = theta < 1e-4
+    small = theta < 1e-2
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-30))
     C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / jnp.maximum(theta2 * theta, 1e-30))
     I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), R.shape)
@@ -324,7 +324,7 @@ def se3_log(T):
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + 1e-30)
     W = skew(w)
-    small = theta < 1e-4
+    small = theta < 1e-2
     # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-30))
