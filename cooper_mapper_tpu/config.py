@@ -62,6 +62,12 @@ class OdometryConfig:
     weight_min: float = 0.1
     eig_threshold: float = 10.0    # degeneracy (:596)
     min_matched: int = 10
+    # native-mode safeguards (no reference equivalent — the reference's 0.05
+    # under-relaxation plays this role): per-step trust region and a floor on
+    # the iteration at which convergence may be declared (after one refresh)
+    trust_region_t: float = 0.3
+    trust_region_r: float = 0.05
+    min_converge_iter: int = 6
 
 
 @dataclasses.dataclass(frozen=True)

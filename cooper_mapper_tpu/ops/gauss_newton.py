@@ -122,14 +122,30 @@ def gn_step(
     delta_t_abort,
     min_matched,
     reference_mode=False,
+    trust_region_t=0.0,
+    trust_region_r=0.0,
+    min_converge_iter=0,
 ):
     """One masked GN update with the reference's guards.
 
     The solve is evaluated unconditionally (SPMD); ``converged`` and
     too-few-matches lanes keep their state (the reference `continue`s at
     pointSelNum < 10, LaserOdometry.cpp:501, and breaks on convergence).
+
+    ``trust_region_t/r`` clamp the per-step translation/rotation magnitude.
+    Full GN steps with exact Jacobians can jump meters off a single bad
+    correspondence set and then pass the convergence test before the next
+    refresh repairs the set; the reference is protected only by its 0.05
+    residual under-relaxation.  ``min_converge_iter`` additionally forbids
+    declaring convergence before at least one correspondence refresh.
     """
     dx = solve_6x6(JtJ, Jtb)
+    if trust_region_t > 0.0:
+        tn = jnp.linalg.norm(dx[..., 3:], axis=-1, keepdims=True)
+        dx = dx.at[..., 3:].multiply(jnp.minimum(1.0, trust_region_t / jnp.maximum(tn, 1e-12)))
+    if trust_region_r > 0.0:
+        rn = jnp.linalg.norm(dx[..., :3], axis=-1, keepdims=True)
+        dx = dx.at[..., :3].multiply(jnp.minimum(1.0, trust_region_r / jnp.maximum(rn, 1e-12)))
 
     def on_first(_):
         return degeneracy_projector(JtJ, eig_threshold, reference_mode)
@@ -148,7 +164,12 @@ def gn_step(
     x_new = nan_guard(state.x + jnp.where(active[..., None], dx, 0.0))
 
     delta_r, delta_t = convergence_deltas(dx)
-    just_converged = active & (delta_r < delta_r_abort) & (delta_t < delta_t_abort)
+    just_converged = (
+        active
+        & (delta_r < delta_r_abort)
+        & (delta_t < delta_t_abort)
+        & (iteration >= min_converge_iter)
+    )
 
     return GNState(
         x=x_new,

@@ -165,6 +165,9 @@ def odometry_solve(
             cfg.delta_r_abort,
             cfg.delta_t_abort,
             cfg.min_matched,
+            trust_region_t=0.0 if parity_mode else cfg.trust_region_t,
+            trust_region_r=0.0 if parity_mode else cfg.trust_region_r,
+            min_converge_iter=0 if parity_mode else cfg.min_converge_iter,
         )
         return st, corr
 

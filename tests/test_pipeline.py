@@ -1,0 +1,117 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cooper_mapper_tpu.config import (
+    MapConfig, MatcherConfig, OdometryConfig, PipelineConfig, RegistrationConfig,
+    ScanMatchConfig,
+)
+from cooper_mapper_tpu.io import evaluation, sim
+from cooper_mapper_tpu.models.pipeline import SlamPipeline
+
+
+def _small_cfg():
+    return PipelineConfig(
+        registration=RegistrationConfig(n_rings=16, max_points_per_ring=512),
+        scan_match=ScanMatchConfig(score_threshold=50.0),
+        feature_map=MapConfig(
+            n_cubes=(7, 3, 7), cube_size=20.0,
+            corner_cube_capacity=1024, surf_cube_capacity=2048,
+            surround_corner_capacity=8192, surround_surf_capacity=16384,
+            valid_distance=60.0,
+        ),
+        matcher=MatcherConfig(max_frame_corner=2048, max_frame_surf=4096),
+        mapping_stride=2,
+    )
+
+
+def _simulate(n_sweeps=10, width=768, speed=0.35, yaw_rate=0.02):
+    world = sim.make_room_world(size=(30.0, 4.0, 40.0), n_pillars=8, seed=21)
+    poses = [np.eye(4, dtype=np.float32)]
+    poses[0][1, 3] = 1.5
+    for i in range(n_sweeps):
+        c, s = np.cos(yaw_rate), np.sin(yaw_rate)
+        step = np.array(
+            [[c, 0, s, 0.2 * speed], [0, 1, 0, 0], [-s, 0, c, speed], [0, 0, 0, 1]],
+            np.float32,
+        )
+        poses.append(poses[-1] @ step)
+    sweeps = [
+        sim.scan_sweep(
+            world, jnp.asarray(poses[i]), jnp.asarray(poses[i + 1]),
+            n_rings=16, width=width,
+        )
+        for i in range(n_sweeps)
+    ]
+    return sweeps, np.stack(poses[:n_sweeps])
+
+
+class TestSlamPipeline:
+    @pytest.fixture(scope="class")
+    def run(self):
+        sweeps, gt = _simulate()
+        pipe = SlamPipeline(_small_cfg(), mode="mapping")
+        results = [pipe.process(s) for s in sweeps]
+        return pipe, results, gt
+
+    def test_trajectory_tracks_ground_truth(self, run):
+        pipe, results, gt = run
+        est = np.stack([r.merged_pose for r in results])
+        # ground truth poses are relative to the first pose's frame
+        gt_rel = np.stack([np.linalg.inv(gt[0]) @ g for g in gt])
+        stats = evaluation.ate(est[:, :3, 3], gt_rel[:, :3, 3])
+        assert stats.rmse < 0.25, f"ATE rmse {stats.rmse}: {est[:,:3,3] - gt_rel[:,:3,3]}"
+
+    def test_odometry_close_to_mapping(self, run):
+        pipe, results, gt = run
+        odo = np.stack([r.odom_pose for r in results])
+        merged = np.stack([r.merged_pose for r in results])
+        # mapping correction should stay small in a well-tracked run
+        assert np.linalg.norm(odo[-1][:3, 3] - merged[-1][:3, 3]) < 1.0
+
+    def test_mapping_succeeds(self, run):
+        pipe, results, gt = run
+        ran = [r for r in results if r.mapping_success is not None]
+        assert len(ran) >= 4
+        assert any(r.mapping_success for r in ran[1:])
+
+    def test_map_accumulates(self, run):
+        pipe, results, gt = run
+        total = int(jnp.sum(pipe.map_state.surf.count))
+        assert total > 2000
+
+
+class TestLocalPipeline:
+    def test_local_mode_runs(self):
+        sweeps, gt = _simulate(n_sweeps=6)
+        pipe = SlamPipeline(_small_cfg(), mode="local")
+        results = [pipe.process(s) for s in sweeps]
+        est = np.stack([r.merged_pose for r in results])
+        gt_rel = np.stack([np.linalg.inv(gt[0]) @ g for g in gt])
+        stats = evaluation.ate(est[:, :3, 3], gt_rel[:, :3, 3])
+        assert stats.rmse < 0.3, f"ATE rmse {stats.rmse}"
+
+
+class TestEvaluation:
+    def test_ate_zero_for_identical(self):
+        pts = np.random.RandomState(0).randn(20, 3)
+        stats = evaluation.ate(pts, pts)
+        assert stats.rmse < 1e-12
+
+    def test_umeyama_recovers_transform(self):
+        rng = np.random.RandomState(1)
+        pts = rng.randn(50, 3)
+        Rz = np.array(
+            [[np.cos(0.4), -np.sin(0.4), 0], [np.sin(0.4), np.cos(0.4), 0], [0, 0, 1]]
+        )
+        moved = pts @ Rz.T + np.array([1.0, -2.0, 3.0])
+        stats = evaluation.ate(pts, moved, align=True)
+        assert stats.rmse < 1e-10
+
+    def test_online_error_outlier_drop(self):
+        est = np.zeros((10, 3))
+        gt = np.zeros((10, 3))
+        est[5] = [100, 0, 0]  # un-initialized spike
+        stats = evaluation.online_error(est, gt)
+        assert stats.n == 9
+        assert stats.maximum < 1e-12
