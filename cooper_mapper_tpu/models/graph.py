@@ -1,0 +1,257 @@
+"""Pose-graph backend: keyframes, loop closure, global optimization.
+
+Re-design of the ``Graph`` node family
+(/root/reference/L_SLAM/src/pose_graph/graph.{h,cpp}, keyframe.{h,cpp},
+keyframe_updater.hpp, loop_detector.hpp): distance/angle-gated keyframes,
+sequential SE3 edges with the reference's hand-set information matrices
+(graph.cpp:281-291), trajectory-radius loop candidates with traveled-distance
+filtering (loop_detector.hpp:106-164), coarse-to-fine loop matching (ICP ->
+scanMatchLocal), loop edges (info diag 2, graph.cpp:334-341), and LM
+optimization with the odom->graph correction maintained afterwards
+(graph.cpp:368-373).
+
+Host code handles the control logic (candidate selection over a handful of
+keyframe positions); all matching and the LM solve run on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import KeyframeConfig, LoopConfig, PoseGraphConfig, ScanMatchConfig
+from ..ops import pose_graph as pg
+from ..ops import scan_match as sm
+from ..utils import cloud as cloud_lib
+from ..utils import se3, twist
+from ..utils.cloud import Cloud
+
+
+@dataclasses.dataclass
+class Keyframe:
+    """stamp + odometry pose + feature clouds (keyframe.h:12-45)."""
+
+    stamp: float
+    odom: np.ndarray           # [4,4] odometry pose at creation
+    corner: Cloud
+    surf: Cloud
+    accum_distance: float
+
+
+@dataclasses.dataclass
+class Loop:
+    key_new: int
+    key_old: int
+    relative: np.ndarray       # [4,4] pose of new in old's frame
+
+
+class KeyframeUpdater:
+    """Gating (keyframe_updater.hpp:12-48)."""
+
+    def __init__(self, cfg: KeyframeConfig = KeyframeConfig()):
+        self.cfg = cfg
+        self.prev: Optional[np.ndarray] = None
+        self.accum = 0.0
+
+    def update(self, pose: np.ndarray) -> bool:
+        if self.prev is None:
+            self.prev = pose
+            return True
+        delta = np.linalg.inv(self.prev) @ pose
+        dt = float(np.linalg.norm(delta[:3, 3]))
+        da = float(np.arccos(np.clip((np.trace(delta[:3, :3]) - 1) / 2, -1, 1)))
+        if dt > self.cfg.keyframe_delta_trans or da > self.cfg.keyframe_delta_angle:
+            self.accum += dt
+            self.prev = pose
+            return True
+        return False
+
+
+class LoopDetector:
+    """Candidate search + coarse/fine matching (loop_detector.hpp)."""
+
+    def __init__(self, cfg: LoopConfig, sm_cfg: ScanMatchConfig):
+        self.cfg = cfg
+        self.sm_cfg = sm_cfg
+        self.last_loop_distance = -1e9
+
+    def find_candidates(
+        self, keyframes: List[Keyframe], estimates: np.ndarray, new_idx: int
+    ) -> List[int]:
+        """Radius + traveled-distance gating (loop_detector.hpp:106-164).
+
+        estimates: [K, 4, 4] current graph pose estimates.
+        """
+        cfg = self.cfg
+        kf_new = keyframes[new_idx]
+        if kf_new.accum_distance - self.last_loop_distance < cfg.min_loop_interval:
+            return []
+        pos_new = estimates[new_idx][:3, 3]
+        cands = []
+        for i in range(new_idx):
+            kf = keyframes[i]
+            if kf_new.accum_distance - kf.accum_distance < cfg.accum_distance_thresh:
+                continue
+            # plan-view (y-flattened) distance, loop_detector.hpp:92-104
+            d = estimates[i][:3, 3] - pos_new
+            d[1] = 0.0
+            if np.linalg.norm(d) > cfg.distance_thresh:
+                continue
+            cands.append(i)
+        if not cands:
+            return []
+        # cluster around the closest candidate by accumulated distance
+        cands.sort(key=lambda i: np.linalg.norm(
+            (estimates[i][:3, 3] - pos_new) * np.array([1.0, 0.0, 1.0])
+        ))
+        anchor = cands[0]
+        grouped = [
+            i for i in cands
+            if abs(keyframes[i].accum_distance - keyframes[anchor].accum_distance)
+            < cfg.candidate_cluster_dist
+        ]
+        return grouped[: cfg.max_candidates]
+
+    def match(
+        self,
+        keyframes: List[Keyframe],
+        estimates: np.ndarray,
+        new_idx: int,
+        candidates: List[int],
+    ) -> Optional[Loop]:
+        """Stack candidate clouds in candidate[0]'s frame, fine-match the new
+        keyframe against them (matching_nearest, loop_detector.hpp:166-226)."""
+        anchor = candidates[0]
+        T_anchor = estimates[anchor]
+        corner_parts, surf_parts = [], []
+        for i in candidates:
+            T_rel = jnp.asarray(np.linalg.inv(T_anchor) @ estimates[i], jnp.float32)
+            kf = keyframes[i]
+            corner_parts.append(_transform_cloud(kf.corner, T_rel))
+            surf_parts.append(_transform_cloud(kf.surf, T_rel))
+        ref_corner = _concat_all(corner_parts)
+        ref_surf = _concat_all(surf_parts)
+
+        T_guess = np.linalg.inv(T_anchor) @ estimates[new_idx]
+        kf_new = keyframes[new_idx]
+        res = sm.scan_match_local(
+            kf_new.corner, kf_new.surf, ref_corner, ref_surf,
+            twist.from_mat(jnp.asarray(T_guess, jnp.float32)), self.sm_cfg,
+        )
+        if not bool(res.success):
+            return None
+        self.last_loop_distance = kf_new.accum_distance
+        rel = np.asarray(twist.to_mat(res.x))
+        return Loop(key_new=new_idx, key_old=anchor, relative=rel)
+
+
+def _transform_cloud(c: Cloud, T) -> Cloud:
+    xyz = se3.apply(T, c.xyz)
+    return cloud_lib.Cloud(
+        jnp.where(c.mask[:, None], xyz, cloud_lib.FAR), c.mask, c.ring, c.rel_time
+    )
+
+
+def _concat_all(parts: List[Cloud]) -> Cloud:
+    out = parts[0]
+    for p in parts[1:]:
+        out = cloud_lib.concat(out, p)
+    return out
+
+
+class GraphSlam:
+    """The Graph node equivalent: ingest keyframes, close loops, optimize."""
+
+    def __init__(
+        self,
+        kf_cfg: KeyframeConfig = KeyframeConfig(),
+        loop_cfg: LoopConfig = LoopConfig(),
+        pg_cfg: PoseGraphConfig = PoseGraphConfig(),
+        sm_cfg: ScanMatchConfig = ScanMatchConfig(),
+    ):
+        self.kf_cfg = kf_cfg
+        self.pg_cfg = pg_cfg
+        self.updater = KeyframeUpdater(kf_cfg)
+        self.detector = LoopDetector(loop_cfg, sm_cfg)
+        self.keyframes: List[Keyframe] = []
+        self.graph = pg.create(pg_cfg.max_nodes, pg_cfg.max_edges)
+        self.n_edges = 0
+        self.loops: List[Loop] = []
+        self.accum = 0.0
+        self._prev_pose: Optional[np.ndarray] = None
+        self.T_odom2graph = np.eye(4, dtype=np.float32)
+
+    # -- ingestion ---------------------------------------------------------
+
+    def add_frame(self, stamp: float, odom_pose: np.ndarray,
+                  corner: Cloud, surf: Cloud) -> bool:
+        """Keyframe-gated ingestion (graph.cpp:230-245).  Returns True when a
+        keyframe was created."""
+        if not self.updater.update(odom_pose):
+            return False
+        if self._prev_pose is not None:
+            self.accum += float(
+                np.linalg.norm(odom_pose[:3, 3] - self._prev_pose[:3, 3])
+            )
+        self._prev_pose = odom_pose
+        idx = len(self.keyframes)
+        if idx >= self.pg_cfg.max_nodes:
+            return False
+        self.keyframes.append(
+            Keyframe(stamp, np.asarray(odom_pose), corner, surf, self.accum)
+        )
+        est = jnp.asarray(self.T_odom2graph @ odom_pose, jnp.float32)
+        self.graph = pg.add_node(self.graph, idx, est)
+        if idx > 0:
+            T_rel = np.linalg.inv(self.keyframes[idx - 1].odom) @ odom_pose
+            info = np.array(
+                list(self.pg_cfg.seq_info_trans) + list(self.pg_cfg.seq_info_rot),
+                np.float32,
+            )
+            self.graph = pg.add_edge(
+                self.graph, self.n_edges, idx - 1, idx,
+                jnp.asarray(T_rel, jnp.float32), jnp.asarray(info),
+            )
+            self.n_edges += 1
+        return True
+
+    # -- optimization cycle ------------------------------------------------
+
+    def detect_and_optimize(self) -> Optional[Loop]:
+        """One optimize-thread cycle (graph.cpp:314-378): detect a loop for
+        the newest keyframe; when found, add the loop edge and run LM."""
+        if len(self.keyframes) < 2:
+            return None
+        estimates = np.asarray(self.graph.poses[: len(self.keyframes)])
+        new_idx = len(self.keyframes) - 1
+        cands = self.detector.find_candidates(self.keyframes, estimates, new_idx)
+        if not cands:
+            return None
+        loop = self.detector.match(self.keyframes, estimates, new_idx, cands)
+        if loop is None or self.n_edges >= self.pg_cfg.max_edges:
+            return None
+        info = np.full(6, self.pg_cfg.loop_info, np.float32)
+        self.graph = pg.add_edge(
+            self.graph, self.n_edges, loop.key_old, loop.key_new,
+            jnp.asarray(loop.relative, jnp.float32), jnp.asarray(info),
+        )
+        self.n_edges += 1
+        self.loops.append(loop)
+        self.optimize()
+        return loop
+
+    def optimize(self):
+        self.graph, diag = pg.optimize(self.graph, self.pg_cfg)
+        # odom->graph correction from the newest keyframe (graph.cpp:368-373)
+        last = len(self.keyframes) - 1
+        est = np.asarray(self.graph.poses[last])
+        self.T_odom2graph = (
+            est @ np.linalg.inv(self.keyframes[last].odom)
+        ).astype(np.float32)
+        return diag
+
+    def estimates(self) -> np.ndarray:
+        return np.asarray(self.graph.poses[: len(self.keyframes)])

@@ -1,0 +1,199 @@
+"""SE(3) pose-graph optimization — batched Levenberg-Marquardt on device.
+
+TPU-native replacement for the g2o backend
+(/root/reference/L_SLAM/src/pose_graph/solver_g2o.{h,cpp}: ``lm_var``
+Levenberg-Marquardt over SE3 nodes/edges with CSparse).  Design per
+SURVEY.md §7.1: per-edge residual/Jacobian kernels (autodiff on the se(3)
+manifold), 6x6 block Hessian assembled by scatter-add into a dense [6N, 6N]
+system, batched Cholesky solve, diagonal LM damping with accept/reject.
+
+The first node is gauge-fixed (add_se3_node fixes node 0,
+solver_g2o.cpp:51-63).  Masks make node/edge counts dynamic under a static
+capacity.  For multi-host scaling the per-edge Hessian contributions are the
+natural psum unit (see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PoseGraphConfig
+from ..utils import se3
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PoseGraph:
+    """Fixed-capacity pose graph.
+
+    poses:    [N, 4, 4] node estimates
+    node_mask:[N]
+    edge_i/j: [E] int32 node indices
+    edge_T:   [E, 4, 4] relative measurements (i -> j)
+    edge_info:[E, 6] diagonal information (translation 3, rotation 3)
+    edge_mask:[E]
+    """
+
+    poses: jax.Array
+    node_mask: jax.Array
+    edge_i: jax.Array
+    edge_j: jax.Array
+    edge_T: jax.Array
+    edge_info: jax.Array
+    edge_mask: jax.Array
+
+
+def create(max_nodes: int, max_edges: int) -> PoseGraph:
+    return PoseGraph(
+        poses=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (max_nodes, 4, 4)),
+        node_mask=jnp.zeros(max_nodes, bool),
+        edge_i=jnp.zeros(max_edges, jnp.int32),
+        edge_j=jnp.zeros(max_edges, jnp.int32),
+        edge_T=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (max_edges, 4, 4)),
+        edge_info=jnp.ones((max_edges, 6), jnp.float32),
+        edge_mask=jnp.zeros(max_edges, bool),
+    )
+
+
+def edge_residual(T_i, T_j, T_meas):
+    """r = log( T_meas^-1 (T_i^-1 T_j) )  [..., 6] (v, w)."""
+    return se3.se3_log(se3.inverse(T_meas) @ se3.inverse(T_i) @ T_j)
+
+
+def _edge_residual_jac(T_i, T_j, T_meas):
+    """Residual + Jacobians wrt right-perturbations of nodes i and j.
+
+    r(d_i, d_j) = log(T_meas^-1 (T_i exp(d_i))^-1 (T_j exp(d_j)))
+    Returns (r [6], J_i [6, 6], J_j [6, 6]).
+    """
+
+    def r_fn(d):
+        di, dj = d[:6], d[6:]
+        return edge_residual(T_i @ se3.se3_exp(di), T_j @ se3.se3_exp(dj), T_meas)
+
+    r = r_fn(jnp.zeros(12))
+    J = jax.jacfwd(r_fn)(jnp.zeros(12))  # [6, 12]
+    return r, J[:, :6], J[:, 6:]
+
+
+def _assemble(graph: PoseGraph, damping):
+    """Build the damped normal equations H dx = -g over all active edges."""
+    n = graph.poses.shape[0]
+
+    T_i = graph.poses[graph.edge_i]
+    T_j = graph.poses[graph.edge_j]
+    r, J_i, J_j = jax.vmap(_edge_residual_jac)(T_i, T_j, graph.edge_T)
+
+    w = graph.edge_mask.astype(jnp.float32)[:, None] * graph.edge_info  # [E, 6]
+    r_w = jnp.where(graph.edge_mask[:, None], r, 0.0)
+    J_i = jnp.where(graph.edge_mask[:, None, None], J_i, 0.0)
+    J_j = jnp.where(graph.edge_mask[:, None, None], J_j, 0.0)
+
+    # per-edge blocks
+    JiW = J_i * w[:, :, None]  # info-weighted rows: [E, 6(res), 6(param)]
+    JjW = J_j * w[:, :, None]
+    H_ii = jnp.einsum("erp,erq->epq", JiW, J_i)
+    H_jj = jnp.einsum("erp,erq->epq", JjW, J_j)
+    H_ij = jnp.einsum("erp,erq->epq", JiW, J_j)
+    g_i = jnp.einsum("erp,er->ep", JiW, r_w)
+    g_j = jnp.einsum("erp,er->ep", JjW, r_w)
+
+    # scatter into dense [N, N, 6, 6] block structure (flattened)
+    H = jnp.zeros((n, n, 6, 6), jnp.float32)
+    H = H.at[graph.edge_i, graph.edge_i].add(H_ii)
+    H = H.at[graph.edge_j, graph.edge_j].add(H_jj)
+    H = H.at[graph.edge_i, graph.edge_j].add(H_ij)
+    H = H.at[graph.edge_j, graph.edge_i].add(jnp.swapaxes(H_ij, -1, -2))
+    g = jnp.zeros((n, 6), jnp.float32)
+    g = g.at[graph.edge_i].add(g_i)
+    g = g.at[graph.edge_j].add(g_j)
+
+    H = jnp.transpose(H, (0, 2, 1, 3)).reshape(6 * n, 6 * n)
+    g = g.reshape(6 * n)
+
+    # gauge fixing: a strong prior on node 0 (first node fixed, :51-63);
+    # inactive nodes get identity blocks so the system stays non-singular
+    diag_boost = jnp.zeros(n).at[0].set(1e6)
+    diag_boost = jnp.where(graph.node_mask, diag_boost, 1e6)
+    boost = jnp.repeat(diag_boost, 6)
+    H = H + jnp.diag(boost + damping * (jnp.diagonal(H) + 1.0))
+    return H, g, r_w, w
+
+
+def _cost(graph: PoseGraph):
+    T_i = graph.poses[graph.edge_i]
+    T_j = graph.poses[graph.edge_j]
+    r = jax.vmap(edge_residual)(T_i, T_j, graph.edge_T)
+    w = graph.edge_mask.astype(jnp.float32)[:, None] * graph.edge_info
+    return jnp.sum(w * r * r)
+
+
+def _apply_update(graph: PoseGraph, dx):
+    n = graph.poses.shape[0]
+    d = dx.reshape(n, 6)
+    d = jnp.where(graph.node_mask[:, None], d, 0.0)
+    d = d.at[0].set(0.0)
+    return dataclasses.replace(graph, poses=graph.poses @ se3.se3_exp(d))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()):
+    """LM loop with multiplicative damping adaptation (lm_var equivalent).
+
+    Returns (graph', diagnostics dict).
+    """
+
+    def body(it, carry):
+        graph, lam, cost = carry
+        H, g, _, _ = _assemble(graph, lam)
+        dx = -jnp.linalg.solve(H, g[:, None])[:, 0]
+        dx = gn_nan_guard(dx)
+        cand = _apply_update(graph, dx)
+        new_cost = _cost(cand)
+        accept = new_cost < cost
+        graph = jax.tree.map(
+            lambda a, b: jnp.where(jnp.reshape(accept, (1,) * a.ndim), a, b),
+            cand, graph,
+        )
+        lam = jnp.where(accept, lam / cfg.lm_lambda_factor, lam * cfg.lm_lambda_factor)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        cost = jnp.where(accept, new_cost, cost)
+        return graph, lam, cost
+
+    cost0 = _cost(graph)
+    graph, lam, cost = jax.lax.fori_loop(
+        0, cfg.max_iterations, body, (graph, jnp.float32(cfg.lm_init_lambda), cost0)
+    )
+    return graph, {"initial_cost": cost0, "final_cost": cost, "lambda": lam}
+
+
+def gn_nan_guard(x):
+    return jnp.where(jnp.isfinite(x), x, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# host-side graph construction helpers (used by models/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def add_node(graph: PoseGraph, idx: int, pose) -> PoseGraph:
+    return dataclasses.replace(
+        graph,
+        poses=graph.poses.at[idx].set(pose),
+        node_mask=graph.node_mask.at[idx].set(True),
+    )
+
+
+def add_edge(graph: PoseGraph, slot: int, i, j, T_rel, info_diag) -> PoseGraph:
+    return dataclasses.replace(
+        graph,
+        edge_i=graph.edge_i.at[slot].set(i),
+        edge_j=graph.edge_j.at[slot].set(j),
+        edge_T=graph.edge_T.at[slot].set(T_rel),
+        edge_info=graph.edge_info.at[slot].set(info_diag),
+        edge_mask=graph.edge_mask.at[slot].set(True),
+    )

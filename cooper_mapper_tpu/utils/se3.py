@@ -289,15 +289,26 @@ def so3_exp(w):
 
 
 def so3_log(R):
-    """(...,3,3) -> (...,3), Taylor-safe."""
+    """(...,3,3) -> (...,3), Taylor-safe AND autodiff-safe.
+
+    arccos has an infinite derivative at cos(theta) -> 1, which poisons
+    forward-mode Jacobians through the small-angle branch of a naive
+    where(); the small branch here is computed purely from the vee vector
+    (|vee| = sin(theta)), so its tangent never touches arccos.
+    """
     tr = jnp.trace(R, axis1=-2, axis2=-1)
     cos_theta = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     w_skew = 0.5 * (R - jnp.swapaxes(R, -1, -2))
     vee = jnp.stack([w_skew[..., 2, 1], w_skew[..., 0, 2], w_skew[..., 1, 0]], -1)
-    small = theta < 1e-2
-    # theta/sin(theta), safe
-    scale = jnp.where(small, 1.0 + theta**2 / 6.0, theta / jnp.sin(jnp.where(small, 1.0, theta)))
+
+    small = cos_theta > 0.9999  # theta < ~1.4e-2
+    safe_cos = jnp.where(small, 0.5, cos_theta)          # keep arccos' finite
+    theta = jnp.arccos(safe_cos)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - safe_cos * safe_cos, 1e-12))
+    scale_exact = theta / sin_theta
+    s2 = jnp.sum(vee * vee, axis=-1)                     # = sin(theta)^2
+    scale_small = 1.0 + s2 / 6.0                         # theta/sin ~ 1 + th^2/6
+    scale = jnp.where(small, scale_small, scale_exact)
     return vee * scale[..., None]
 
 
