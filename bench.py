@@ -1,0 +1,98 @@
+"""Benchmark: batched scan-to-scan GN solves per second per chip.
+
+BASELINE.md headline: the reference runs ONE ~10 Hz scan-match solve in real
+time on a Jetson TX2 (L_SLAM/README.md "Laser odometry (~10 Hz)"); the target
+is >= 10x solves/s per chip.  This bench builds a realistic VLP-16 sweep pair
+in the ray-cast simulator, tiles it into a batch of independent solves with
+per-problem initial-guess perturbations, and measures steady-state batched
+Gauss-Newton throughput (full 25-iteration horizon, correspondence refresh
+every 5 iterations, exactly the reference's solve budget).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import cooper_mapper_tpu  # noqa: F401
+from cooper_mapper_tpu.config import OdometryConfig, RegistrationConfig
+from cooper_mapper_tpu.io import sim
+from cooper_mapper_tpu.ops import features, odometry as odo_ops
+from cooper_mapper_tpu.utils import se3, twist
+
+BASELINE_SOLVES_PER_S = 10.0  # Jetson TX2 real-time odometry rate
+
+
+def build_problem(width=1024, n_rings=16):
+    world = sim.make_room_world(seed=42)
+    p0 = jnp.eye(4, dtype=jnp.float32).at[1, 3].set(1.5)
+    motion = jnp.asarray(
+        np.array(
+            [[np.cos(0.02), 0, np.sin(0.02), 0.1],
+             [0, 1, 0, 0],
+             [-np.sin(0.02), 0, np.cos(0.02), 0.35],
+             [0, 0, 0, 1]], np.float32,
+        )
+    )
+    p1 = p0 @ motion
+    cfg_reg = RegistrationConfig(n_rings=n_rings, max_points_per_ring=width)
+    s_prev = sim.scan_sweep(world, p0, p0, n_rings=n_rings, width=width)
+    s_cur = sim.scan_sweep(world, p0, p1, n_rings=n_rings, width=width)
+    f_prev = features.extract_features(s_prev, cfg_reg)
+    f_cur = features.extract_features(s_cur, cfg_reg)
+    return f_prev, f_cur
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    cfg = OdometryConfig()
+
+    f_prev, f_cur = build_problem()
+    tile = lambda t: jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (batch,) + a.shape), t
+    )
+    sharp = tile(f_cur.sharp)
+    flat = tile(f_cur.flat)
+    ref_c = tile(f_prev.less_sharp)
+    ref_s = tile(f_prev.less_flat)
+    # per-problem perturbed initial guesses so the solves are independent work
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(0.02 * rng.randn(batch, 6), jnp.float32)
+
+    solve = jax.jit(
+        lambda a, b, c, d, x: odo_ops.batch_odometry_solve(a, b, c, d, x, cfg)[0]
+    )
+
+    xs = solve(sharp, flat, ref_c, ref_s, x0)
+    jax.block_until_ready(xs)  # compile + warmup
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        xs = solve(sharp, flat, ref_c, ref_s, x0)
+    jax.block_until_ready(xs)
+    dt = (time.perf_counter() - t0) / reps
+
+    solves_per_s = batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "scan_match_solves_per_s_per_chip",
+                "value": round(solves_per_s, 2),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

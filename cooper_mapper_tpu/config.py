@@ -55,6 +55,7 @@ class OdometryConfig:
     delta_r_abort: float = 0.1     # [deg] (converge thresholds, :636-644)
     delta_t_abort: float = 0.1     # [cm-scale: |dt|*100]
     refresh_every: int = 5         # correspondences re-found every 5 iters (:358)
+    n_rings: int = 16              # scan rings of the sensor (ring-NN buckets)
     nn_sq_dist_max: float = 25.0   # 1-NN gate (:364)
     ring_span: float = 2.5         # adjacent-ring search window (:372)
     residual_scale: float = 0.05   # matB = -0.05 * coeff.intensity (:575)
@@ -203,25 +204,29 @@ class PipelineConfig:
 
 def vlp16() -> PipelineConfig:
     return PipelineConfig(
-        registration=RegistrationConfig(n_rings=16, max_points_per_ring=2048)
+        registration=RegistrationConfig(n_rings=16, max_points_per_ring=2048),
+        odometry=OdometryConfig(n_rings=16),
     )
 
 
 def hdl32() -> PipelineConfig:
     return PipelineConfig(
-        registration=RegistrationConfig(n_rings=32, max_points_per_ring=2048)
+        registration=RegistrationConfig(n_rings=32, max_points_per_ring=2048),
+        odometry=OdometryConfig(n_rings=32),
     )
 
 
 def hdl64() -> PipelineConfig:
     return PipelineConfig(
-        registration=RegistrationConfig(n_rings=64, max_points_per_ring=2048)
+        registration=RegistrationConfig(n_rings=64, max_points_per_ring=2048),
+        odometry=OdometryConfig(n_rings=64),
     )
 
 
 def pandar40() -> PipelineConfig:
     return PipelineConfig(
-        registration=RegistrationConfig(n_rings=40, max_points_per_ring=2048)
+        registration=RegistrationConfig(n_rings=40, max_points_per_ring=2048),
+        odometry=OdometryConfig(n_rings=40),
     )
 
 

@@ -137,9 +137,18 @@ class LoopDetector:
 
         T_guess = np.linalg.inv(T_anchor) @ estimates[new_idx]
         kf_new = keyframes[new_idx]
+        # coarse point-to-point ICP on the surf clouds seeds the fine solve
+        # (corseMatching, loop_detector.hpp:228-250)
+        from ..ops import icp as icp_ops
+
+        T_coarse, _, n_inlier = icp_ops.icp(
+            kf_new.surf, ref_surf, jnp.asarray(T_guess, jnp.float32),
+            max_iterations=8, max_corr_dist=2.0,
+        )
+        T_seed = jnp.where(n_inlier > 50, T_coarse, jnp.asarray(T_guess, jnp.float32))
         res = sm.scan_match_local(
             kf_new.corner, kf_new.surf, ref_corner, ref_surf,
-            twist.from_mat(jnp.asarray(T_guess, jnp.float32)), self.sm_cfg,
+            twist.from_mat(T_seed), self.sm_cfg,
         )
         if not bool(res.success):
             return None

@@ -125,6 +125,7 @@ def gn_step(
     trust_region_t=0.0,
     trust_region_r=0.0,
     min_converge_iter=0,
+    compute_projector: bool = False,
 ):
     """One masked GN update with the reference's guards.
 
@@ -138,6 +139,11 @@ def gn_step(
     refresh repairs the set; the reference is protected only by its 0.05
     residual under-relaxation.  ``min_converge_iter`` additionally forbids
     declaring convergence before at least one correspondence refresh.
+
+    ``compute_projector`` must be a *python* bool: callers peel iteration 0
+    (the only one that eigendecomposes JtJ) out of their device loops — a
+    traced ``lax.cond`` would evaluate the batched eigh on every iteration
+    under vmap.
     """
     dx = solve_6x6(JtJ, Jtb)
     if trust_region_t > 0.0:
@@ -147,13 +153,10 @@ def gn_step(
         rn = jnp.linalg.norm(dx[..., :3], axis=-1, keepdims=True)
         dx = dx.at[..., :3].multiply(jnp.minimum(1.0, trust_region_r / jnp.maximum(rn, 1e-12)))
 
-    def on_first(_):
-        return degeneracy_projector(JtJ, eig_threshold, reference_mode)
-
-    def keep(_):
-        return state.P, state.is_degenerate
-
-    P, is_degenerate = jax.lax.cond(iteration == 0, on_first, keep, None)
+    if compute_projector:
+        P, is_degenerate = degeneracy_projector(JtJ, eig_threshold, reference_mode)
+    else:
+        P, is_degenerate = state.P, state.is_degenerate
     dx = jnp.where(
         is_degenerate[..., None], (P @ dx[..., None])[..., 0], dx
     )

@@ -101,7 +101,7 @@ def scan_match(
 
     enough_ref = (ref_corner.count() >= 50) & (ref_surf.count() >= 100)
 
-    def body(it, st):
+    def step(st, it, compute_projector=False):
         J, b, ok, _ = _build_residuals(
             st.x, corner, surf, ref_corner, ref_surf, cfg, chunk
         )
@@ -114,9 +114,12 @@ def scan_match(
             cfg.delta_r_abort,
             cfg.delta_t_abort,
             cfg.min_matched,
+            compute_projector=compute_projector,
         )
 
-    st = jax.lax.fori_loop(0, cfg.max_iterations, body, gn.gn_init(x0))
+    # iteration 0 peeled: the degeneracy eigendecomposition runs exactly once
+    st = step(gn.gn_init(x0), jnp.int32(0), compute_projector=True)
+    st = jax.lax.fori_loop(1, cfg.max_iterations, lambda it, s: step(s, it), st)
 
     # final diagnostics at the solution (score gate, ScanMatch.cpp:263-341)
     J, b, ok, found = _build_residuals(

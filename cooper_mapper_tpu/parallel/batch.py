@@ -1,0 +1,149 @@
+"""Sharded batched solvers — the BASELINE config-5 workload.
+
+4096 concurrent scan-match solves shard over the mesh batch axis (pure data
+parallelism: each device solves its slice, zero cross-device traffic in the
+solve itself), and the global pose-graph LM reduces per-edge Hessian/gradient
+block contributions with psum over the same mesh (SURVEY.md §2.8, §5
+"long-context" analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import OdometryConfig, PoseGraphConfig, ScanMatchConfig
+from ..ops import odometry as odo_ops
+from ..ops import pose_graph as pg
+from ..ops import scan_match as sm_ops
+from ..utils import se3
+from . import mesh as mesh_lib
+
+
+def sharded_odometry_solve(sharp, flat, last_corner, last_surf, x0, cfg: OdometryConfig,
+                           mesh):
+    """Batch-parallel scan-to-scan solves over the mesh.
+
+    All cloud pytrees carry a leading batch dim divisible by the mesh size.
+    """
+    sharp, flat, last_corner, last_surf, x0 = mesh_lib.shard_batch(
+        (sharp, flat, last_corner, last_surf, x0), mesh
+    )
+    fn = jax.jit(
+        lambda a, b, c, d, x: odo_ops.batch_odometry_solve(a, b, c, d, x, cfg),
+        out_shardings=mesh_lib.batch_sharding(mesh),
+    )
+    return fn(sharp, flat, last_corner, last_surf, x0)
+
+
+def sharded_scan_match(corner, surf, ref_corner, ref_surf, x0,
+                       cfg: ScanMatchConfig, mesh, chunk: int = 512):
+    """Batch-parallel scan-to-map solves over the mesh."""
+    corner, surf, ref_corner, ref_surf, x0 = mesh_lib.shard_batch(
+        (corner, surf, ref_corner, ref_surf, x0), mesh
+    )
+    fn = jax.jit(
+        lambda a, b, c, d, x: sm_ops.batch_scan_match(a, b, c, d, x, cfg, chunk),
+        out_shardings=mesh_lib.batch_sharding(mesh),
+    )
+    return fn(corner, surf, ref_corner, ref_surf, x0)
+
+
+# ---------------------------------------------------------------------------
+# Sharded pose-graph LM: edges partitioned across devices, block Hessian and
+# gradient psum-reduced, replicated solve (the BASELINE "per-block
+# Hessian/gradient contributions reduced via psum/all-gather").
+# ---------------------------------------------------------------------------
+
+
+def _local_blocks(poses, edge_i, edge_j, edge_T, edge_info, edge_mask):
+    """Per-shard assembly of the dense system from the local edge slice."""
+    n = poses.shape[0]
+    T_i = poses[edge_i]
+    T_j = poses[edge_j]
+    r, J_i, J_j = jax.vmap(pg._edge_residual_jac)(T_i, T_j, edge_T)
+    w = edge_mask.astype(jnp.float32)[:, None] * edge_info
+    r_w = jnp.where(edge_mask[:, None], r, 0.0)
+    J_i = jnp.where(edge_mask[:, None, None], J_i, 0.0)
+    J_j = jnp.where(edge_mask[:, None, None], J_j, 0.0)
+    JiW = J_i * w[:, :, None]
+    JjW = J_j * w[:, :, None]
+    H = jnp.zeros((n, n, 6, 6), jnp.float32)
+    H = H.at[edge_i, edge_i].add(jnp.einsum("erp,erq->epq", JiW, J_i))
+    H = H.at[edge_j, edge_j].add(jnp.einsum("erp,erq->epq", JjW, J_j))
+    H_ij = jnp.einsum("erp,erq->epq", JiW, J_j)
+    H = H.at[edge_i, edge_j].add(H_ij)
+    H = H.at[edge_j, edge_i].add(jnp.swapaxes(H_ij, -1, -2))
+    g = jnp.zeros((n, 6), jnp.float32)
+    g = g.at[edge_i].add(jnp.einsum("erp,er->ep", JiW, r_w))
+    g = g.at[edge_j].add(jnp.einsum("erp,er->ep", JjW, r_w))
+    cost = jnp.sum(w * r * r)
+    return H, g, cost
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def sharded_pose_graph_optimize(graph: pg.PoseGraph, cfg: PoseGraphConfig, mesh):
+    """LM with edge-sharded assembly: each device builds the blocks for its
+    edge slice; H, g, and the cost psum across the mesh; the (small) solve is
+    replicated.  Edge capacity must be divisible by the mesh size.
+    """
+    axis = mesh.axis_names[0]
+    n = graph.poses.shape[0]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+    )
+    def assemble(poses, ei, ej, eT, einfo, emask):
+        H, g, cost = _local_blocks(poses, ei, ej, eT, einfo, emask)
+        return (
+            jax.lax.psum(H, axis),
+            jax.lax.psum(g, axis),
+            jax.lax.psum(cost, axis),
+        )
+
+    def body(it, carry):
+        graph, lam, cost = carry
+        H4, g2, _ = assemble(
+            graph.poses, graph.edge_i, graph.edge_j, graph.edge_T,
+            graph.edge_info, graph.edge_mask,
+        )
+        H = jnp.transpose(H4, (0, 2, 1, 3)).reshape(6 * n, 6 * n)
+        g = g2.reshape(6 * n)
+        diag_boost = jnp.zeros(n).at[0].set(1e6)
+        diag_boost = jnp.where(graph.node_mask, diag_boost, 1e6)
+        H = H + jnp.diag(jnp.repeat(diag_boost, 6) + lam * (jnp.diagonal(H) + 1.0))
+        dx = -jnp.linalg.solve(H, g[:, None])[:, 0]
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        cand = pg._apply_update(graph, dx)
+        _, _, new_cost = assemble(
+            cand.poses, cand.edge_i, cand.edge_j, cand.edge_T,
+            cand.edge_info, cand.edge_mask,
+        )
+        accept = new_cost < cost
+        graph = jax.tree.map(
+            lambda a, b: jnp.where(jnp.reshape(accept, (1,) * a.ndim), a, b),
+            cand, graph,
+        )
+        lam = jnp.clip(
+            jnp.where(accept, lam / cfg.lm_lambda_factor, lam * cfg.lm_lambda_factor),
+            1e-9, 1e6,
+        )
+        cost = jnp.where(accept, new_cost, cost)
+        return graph, lam, cost
+
+    _, _, cost0 = assemble(
+        graph.poses, graph.edge_i, graph.edge_j, graph.edge_T,
+        graph.edge_info, graph.edge_mask,
+    )
+    graph, lam, cost = jax.lax.fori_loop(
+        0, cfg.max_iterations, body, (graph, jnp.float32(cfg.lm_init_lambda), cost0)
+    )
+    return graph, {"initial_cost": cost0, "final_cost": cost, "lambda": lam}

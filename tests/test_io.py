@@ -1,0 +1,159 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from cooper_mapper_tpu.config import MapConfig
+from cooper_mapper_tpu.io import feature_extracter, map_io, pcd
+from cooper_mapper_tpu.maps import dynamic_map, feature_map as fm
+from cooper_mapper_tpu.utils import cloud as cloud_lib
+from cooper_mapper_tpu.fusion import fpd_receiver, utm
+from cooper_mapper_tpu.ops import icp
+from cooper_mapper_tpu.utils import se3
+
+
+CFG = MapConfig(
+    n_cubes=(5, 3, 5), cube_size=10.0,
+    corner_cube_capacity=256, surf_cube_capacity=512,
+    surround_corner_capacity=2048, surround_surf_capacity=4096,
+    valid_distance=25.0,
+)
+
+
+class TestPcd:
+    def test_roundtrip_binary(self, tmp_path):
+        xyz = np.random.RandomState(0).randn(100, 3).astype(np.float32)
+        inten = np.arange(100, dtype=np.float32)
+        p = str(tmp_path / "a.pcd")
+        pcd.write_pcd(p, xyz, inten)
+        xyz2, inten2 = pcd.read_pcd(p)
+        np.testing.assert_allclose(xyz, xyz2)
+        np.testing.assert_allclose(inten, inten2)
+
+    def test_roundtrip_ascii(self, tmp_path):
+        xyz = np.random.RandomState(1).randn(10, 3).astype(np.float32)
+        p = str(tmp_path / "b.pcd")
+        pcd.write_pcd(p, xyz, binary=False)
+        xyz2, _ = pcd.read_pcd(p)
+        np.testing.assert_allclose(xyz, xyz2, atol=1e-5)
+
+
+class TestMapPersistence:
+    def test_save_load_roundtrip(self, tmp_path):
+        state = fm.create(CFG)
+        pts = jnp.array([[0.0, 0, 0], [1.0, 0.5, 0], [12.0, 0, 3.0]])
+        c = cloud_lib.from_points(pts, capacity=8)
+        state = fm.add_feature_cloud(state, c, c, CFG)
+        n = map_io.save_feature_map(state, CFG, str(tmp_path))
+        assert n >= 2
+        assert os.path.exists(tmp_path / "index.txt")
+
+        loaded = fm.create(CFG)
+        loaded = map_io.load_feature_map(str(tmp_path), CFG)
+        corner, surf = fm.get_surround(loaded, jnp.zeros(3), CFG)
+        got = np.sort(np.asarray(corner.xyz[np.asarray(corner.mask)])[:, 0])
+        np.testing.assert_allclose(got, [0, 1, 12], atol=1e-5)
+
+    def test_g2o_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        poses = []
+        T = np.eye(4, dtype=np.float32)
+        for _ in range(5):
+            T = T @ np.asarray(se3.se3_exp(jnp.asarray(0.2 * rng.randn(6), jnp.float32)))
+            poses.append(T)
+        poses = np.stack(poses)
+        edges = [(i, i + 1, np.linalg.inv(poses[i]) @ poses[i + 1], np.ones(6))
+                 for i in range(4)]
+        p = str(tmp_path / "graph.g2o")
+        map_io.save_g2o(p, poses, edges)
+        poses2, edges2 = map_io.load_g2o(p)
+        np.testing.assert_allclose(poses, poses2, atol=1e-5)
+        assert len(edges2) == 4
+        np.testing.assert_allclose(edges[0][2], edges2[0][2], atol=1e-5)
+
+    def test_index_convert(self, tmp_path):
+        src = tmp_path / "index.txt"
+        src.write_text("10 0 1 2 3 50.0\n")
+        dst = tmp_path / "index2.txt"
+        map_io.index_convert(str(src), str(dst), (5, -1, 0))
+        assert dst.read_text().split() == ["10", "0", "6", "1", "3", "50.0"]
+
+
+class TestDynamicMap:
+    def test_page_out_and_back(self, tmp_path):
+        dmap = dynamic_map.DynamicFeatureMap.create(CFG, str(tmp_path))
+        pts = jnp.array([[0.0, 0, 0], [3.0, 1.0, 2.0]])
+        c = cloud_lib.from_points(pts, capacity=4)
+        dmap.add_feature_cloud(c, c)
+        # drive far away: cubes leave the window but land on disk
+        dmap.page(np.array([200.0, 0.0, 0.0]))
+        assert int(jnp.sum(dmap.state.corner.count)) == 0
+        assert len(dmap.on_disk) > 0
+        # come back: cubes reload
+        dmap.page(np.array([0.0, 0.0, 0.0]))
+        corner, _ = dmap.get_surround(np.zeros(3))
+        assert int(corner.count()) == 2
+
+
+class TestFeatureExtracter:
+    def test_classifies_plane_and_edge(self):
+        rng = np.random.RandomState(0)
+        # a dense plane patch + a dense line
+        uv = rng.uniform(-2, 2, (400, 2))
+        plane = np.stack([uv[:, 0], np.zeros(400), uv[:, 1]], -1)
+        t = rng.uniform(-2, 2, (100, 1))
+        line = np.concatenate([t * 0 + 5.0, t * 3, t * 0], -1)
+        xyz = np.concatenate([plane, line]).astype(np.float32)
+        is_surf, is_corner = feature_extracter.classify_map_points(xyz, k=8)
+        assert is_surf[:400].mean() > 0.8
+        assert is_corner[400:].mean() > 0.6
+        assert is_corner[:400].mean() < 0.2
+
+
+class TestUtm:
+    def test_known_utm_point(self):
+        # NYC: 40.7128 N, 74.0060 W -> UTM zone 18N
+        e, n, zone = utm.wgs84_to_utm(40.7128, -74.0060)
+        assert zone == 18
+        assert abs(e - 583960) < 10
+        assert abs(n - 4507351) < 10
+
+    def test_central_meridian_exact(self):
+        # northing on the central meridian equals k0 * meridional arc:
+        # M(45 deg, WGS84) = 4984944.38 m -> 0.9996 * M = 4982950.4
+        e, n, zone = utm.wgs84_to_utm(45.0, -75.0)
+        assert abs(e - 500000.0) < 1e-6
+        assert abs(n - 4982950.4) < 1.0
+
+    def test_gnss_to_map_origin(self):
+        p = utm.gnss_to_map(40.7128, -74.0060, 10.0, 40.7128, -74.0060, 10.0)
+        np.testing.assert_allclose(p, np.zeros(3), atol=1e-6)
+
+
+class TestFpdQueue:
+    def test_interpolation(self):
+        q = fpd_receiver.FpdQueue()
+        T0 = np.eye(4, dtype=np.float32)
+        T1 = np.eye(4, dtype=np.float32)
+        T1[:3, 3] = [2.0, 0, 0]
+        q.push(0.0, T0)
+        q.push(1.0, T1)
+        Tm = q.find_nearest(0.5)
+        np.testing.assert_allclose(Tm[:3, 3], [1.0, 0, 0], atol=1e-6)
+
+
+class TestIcp:
+    def test_aligns_offset_cloud(self):
+        rng = np.random.RandomState(0)
+        pts = rng.uniform(-5, 5, (500, 3)).astype(np.float32)
+        # structured: snap to two planes for stability
+        pts[:250, 1] = 0.0
+        pts[250:, 0] = 3.0
+        target = cloud_lib.from_points(jnp.asarray(pts))
+        T_true = np.asarray(se3.se3_exp(jnp.asarray([0.3, -0.2, 0.1, 0.02, 0.05, -0.03], jnp.float32)))
+        src_pts = (np.linalg.inv(T_true)[:3, :3] @ (pts - T_true[:3, 3]).T).T
+        source = cloud_lib.from_points(jnp.asarray(src_pts.astype(np.float32)))
+        T, rmse, n = icp.icp(source, target, jnp.eye(4), max_iterations=15)
+        err = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(T_true)) @ T))
+        assert np.linalg.norm(err) < 0.05, err
+        assert float(rmse) < 0.1
