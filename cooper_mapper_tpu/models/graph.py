@@ -264,3 +264,69 @@ class GraphSlam:
 
     def estimates(self) -> np.ndarray:
         return np.asarray(self.graph.poses[: len(self.keyframes)])
+
+    # -- persistence (the /saveGraph service, graph.cpp:106-199) -----------
+
+    def edges_list(self):
+        out = []
+        for e in range(self.n_edges):
+            out.append(
+                (
+                    int(self.graph.edge_i[e]),
+                    int(self.graph.edge_j[e]),
+                    np.asarray(self.graph.edge_T[e]),
+                    np.asarray(self.graph.edge_info[e]),
+                )
+            )
+        return out
+
+    def save(self, directory: str, map_cfg=None, rebuild_sm_cfg=None):
+        """Dump .g2o pre/post optimization, trajectory clouds, and a feature
+        map rebuilt from the optimized keyframes (graph.cpp:106-199)."""
+        import os
+
+        from ..io import map_io
+
+        os.makedirs(directory, exist_ok=True)
+        n = len(self.keyframes)
+        edges = self.edges_list()
+        map_io.save_g2o(
+            os.path.join(directory, "before.g2o"), self.estimates(), edges
+        )
+        diag = self.optimize()
+        est = self.estimates()
+        map_io.save_g2o(os.path.join(directory, "after.g2o"), est, edges)
+        map_io.save_trajectory_pcd(os.path.join(directory, "graph_traj.pcd"), est)
+        map_io.save_trajectory_pcd(
+            os.path.join(directory, "odom_traj.pcd"),
+            np.stack([kf.odom for kf in self.keyframes]) if n else np.zeros((0, 4, 4)),
+        )
+        if map_cfg is not None:
+            state = self.rebuild_map(map_cfg, rebuild_sm_cfg)
+            map_io.save_feature_map(state, map_cfg, os.path.join(directory, "map"))
+        return diag
+
+    def rebuild_map(self, map_cfg, sm_cfg=None):
+        """Rebuild a FeatureMap from optimized keyframes; when ``sm_cfg`` is
+        given, each keyframe is re-registered against the growing map before
+        insertion (getFinalFeatureMap, graph.cpp:149-199)."""
+        import jax.numpy as jnp
+
+        from ..maps import feature_map as fm
+
+        state = fm.create(map_cfg)
+        est = self.estimates()
+        for i, kf in enumerate(self.keyframes):
+            pose = jnp.asarray(est[i], jnp.float32)
+            if sm_cfg is not None and i > 0:
+                ref_c, ref_s = fm.get_surround(state, pose[:3, 3], map_cfg)
+                res = sm.scan_match(
+                    kf.corner, kf.surf, ref_c, ref_s,
+                    twist.from_mat(pose), sm_cfg,
+                )
+                pose = jnp.where(res.success, twist.to_mat(res.x), pose)
+            state = fm.add_feature_cloud(
+                state, _transform_cloud(kf.corner, pose),
+                _transform_cloud(kf.surf, pose), map_cfg,
+            )
+        return state

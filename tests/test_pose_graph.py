@@ -156,3 +156,34 @@ class TestGraphSlamLoop:
         drift_end = np.linalg.norm(slam.keyframes[-1].odom[:3, 3] - gt_poses[0][:3, 3])
         err_end = np.linalg.norm(est[len(slam.keyframes) - 1][:3, 3] - gt_poses[0][:3, 3])
         assert err_end < drift_end * 0.8, (drift_end, err_end)
+
+
+class TestGraphSave:
+    def test_save_and_rebuild(self, tmp_path):
+        import os
+        from cooper_mapper_tpu.config import MapConfig
+        from cooper_mapper_tpu.io import map_io
+        from cooper_mapper_tpu.utils import cloud as cloud_lib
+
+        slam = GraphSlam(pg_cfg=PG_CFG)
+        rng = np.random.RandomState(0)
+        pose = np.eye(4, dtype=np.float32)
+        for i in range(5):
+            pts = jnp.asarray(rng.uniform(-3, 3, (64, 3)).astype(np.float32))
+            c = cloud_lib.from_points(pts, capacity=64)
+            pose = pose.copy()
+            pose[0, 3] += 0.5
+            slam.add_frame(float(i), pose, c, c)
+        cfg_map = MapConfig(
+            n_cubes=(5, 3, 5), cube_size=10.0,
+            corner_cube_capacity=512, surf_cube_capacity=512,
+            surround_corner_capacity=1024, surround_surf_capacity=1024,
+            valid_distance=20.0,
+        )
+        slam.save(str(tmp_path), map_cfg=cfg_map)
+        assert os.path.exists(tmp_path / "before.g2o")
+        assert os.path.exists(tmp_path / "after.g2o")
+        assert os.path.exists(tmp_path / "graph_traj.pcd")
+        assert os.path.exists(tmp_path / "map" / "index.txt")
+        poses2, edges2 = map_io.load_g2o(str(tmp_path / "after.g2o"))
+        assert len(poses2) == len(slam.keyframes)
