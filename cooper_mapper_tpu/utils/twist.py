@@ -1,18 +1,23 @@
 """LOAM twist parameterization and in-sweep motion warps.
 
 The reference keeps the solver state as a ``Twist`` — three Euler angles
-(rx, ry, rz) plus a translation (Twist.h:13-36) — and uses two distinct warps:
+(rx, ry, rz) plus a translation (Twist.h:13-36).  The *working* warps of
+``LaserOdometry`` (the member functions, LaserOdometry.cpp:135-190 — NOT the
+unused transform_utils variants) are forward TZYX transforms of the
+time-scaled twist:
 
-* ``warp_to_start`` — motion-compensated projection of a point captured at
-  in-sweep time fraction ``s`` back to the sweep *start* frame
-  (transform_utils.h:358-372):
-      ``p_start = Ry(-s*ry) Rx(-s*rx) Rz(-s*rz) (p - s*t)``
-* ``warp_to_end`` — projection to the sweep *end* frame
-  (transform_utils.h:403-423): warp to start, then
-      ``p_end = Rz(rz) Rx(rx) Ry(ry) p_start + t``
+* ``warp_to_start`` (LaserOdometry.cpp:135-142):
+      ``p_start = TZYX(s * x) p  =  Rz(s rz) Ry(s ry) Rx(s rx) p + s t``
+  where ``s`` is the in-sweep time fraction (``10 * frac(intensity)``).
+* ``warp_to_end`` (transformToEnd, :156-168): warp to start, then apply
+  ``TZYX(x)^-1``.
 * ``point_to_map`` — the scan-to-map warp (pointAssociateToMap,
-  transform_utils.h:476-482, via convertTransform TZYX):
-      ``p_world = Rz(rz) Ry(ry) Rx(rx) p + t``
+  transform_utils.h:476-482): the same forward TZYX transform at s=1.
+
+Under this convention the twist IS the relative sweep motion:
+``T_start<-end = TZYX(x)``, so pose accumulation ``_Tsum @ TZYX(x)``
+(transformUpdate, :649-653) is exact, and the closed-form solver Jacobian
+(:557-575) is the true derivative at s=1.
 
 All functions take a 6-vector state ``x = [rx, ry, rz, tx, ty, tz]`` and
 broadcast over leading batch dimensions of both state and points.
@@ -29,30 +34,22 @@ def warp_to_start(x, points, s):
     """Project points captured at time fractions ``s`` to the sweep start.
 
     x: [..., 6]; points: [..., N, 3]; s: [..., N] in-sweep fraction in [0, 1].
-    Matches transformToStart (transform_utils.h:358-372), where
-    ``s = 10 * frac(intensity)`` in the reference encoding.
+    Matches LaserOdometry::transformToStart (LaserOdometry.cpp:135-142):
+    ``p_start = TZYX(s*x) p`` with the twist linearly time-scaled.
     """
-    s = s[..., None]
-    shifted = points - s * x[..., None, 3:6]
-    # rotateZXY(p, -s*rz, -s*rx, -s*ry): Ry(-s*ry) @ Rx(-s*rx) @ Rz(-s*rz) @ p
-    sa = s[..., 0]
-    R = (
-        se3.rot_y(-sa * x[..., None, 1])
-        @ se3.rot_x(-sa * x[..., None, 0])
-        @ se3.rot_z(-sa * x[..., None, 2])
+    sa = s
+    R = se3.euler_zyx_to_rot(
+        sa * x[..., None, 0], sa * x[..., None, 1], sa * x[..., None, 2]
     )
-    return (R @ shifted[..., None])[..., 0]
+    return (R @ points[..., None])[..., 0] + s[..., None] * x[..., None, 3:6]
 
 
 def warp_to_end(x, points, s):
-    """Project points to the sweep end frame (transformToEnd).
-
-    Warp to start, then apply the full sweep motion:
-    ``p_end = Rz(rz) Rx(rx) Ry(ry) p_start + t``  (rotateYXZ then add t).
-    """
+    """Project points to the sweep end frame (transformToEnd,
+    LaserOdometry.cpp:156-168): ``p_end = TZYX(x)^-1 warp_to_start(p)``."""
     p_start = warp_to_start(x, points, s)
-    R = se3.rot_z(x[..., None, 2]) @ se3.rot_x(x[..., None, 0]) @ se3.rot_y(x[..., None, 1])
-    return (R @ p_start[..., None])[..., 0] + x[..., None, 3:6]
+    T_inv = se3.inverse(se3.euler6_to_mat(x))
+    return p_start @ jnp.swapaxes(T_inv[..., :3, :3], -1, -2) + T_inv[..., None, :3, 3]
 
 
 def point_to_map(x, points):
@@ -86,26 +83,15 @@ def compose_accumulate(T_sum, x):
 
 
 def to_relative_motion(x):
-    """Twist -> the exact relative sensor pose over the sweep, M = T_start^-1 T_end.
+    """Twist -> the relative sensor pose over the sweep, M = T_start^-1 T_end.
 
-    From the warp definition p_start = R(-1) (p_end - t) with
-    R(-1) = Ry(-ry) Rx(-rx) Rz(-rz):  M = [R(-1) | -R(-1) t].
+    With the forward TZYX warp convention this is simply TZYX(x): a world
+    point with end-frame coordinates p has start-frame coordinates
+    TZYX(x) p, so the end pose in the start frame IS TZYX(x).
     """
-    R = (
-        se3.rot_y(-x[..., 1]) @ se3.rot_x(-x[..., 0]) @ se3.rot_z(-x[..., 2])
-    )
-    t = -(R @ x[..., 3:6, None])[..., 0]
-    return se3.make_mat(R, t)
+    return se3.euler6_to_mat(x)
 
 
 def from_relative_motion(M):
-    """Inverse of to_relative_motion: relative pose -> twist 6-vec.
-
-    Decomposes M[:3,:3]^T = Rz(rz) Rx(rx) Ry(ry) (ZXY intrinsic order).
-    """
-    Rt = jnp.swapaxes(M[..., :3, :3], -1, -2)
-    rx = jnp.arcsin(jnp.clip(Rt[..., 2, 1], -1.0, 1.0))
-    ry = jnp.arctan2(-Rt[..., 2, 0], Rt[..., 2, 2])
-    rz = jnp.arctan2(-Rt[..., 0, 1], Rt[..., 1, 1])
-    t = -(Rt @ M[..., :3, 3, None])[..., 0]
-    return jnp.concatenate([jnp.stack([rx, ry, rz], -1), t], axis=-1)
+    """Inverse of to_relative_motion: relative pose -> twist 6-vec."""
+    return se3.mat_to_euler6(M)

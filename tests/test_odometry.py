@@ -126,3 +126,24 @@ class TestOdometrySolve:
         assert bool(st.is_degenerate)
         # unconstrained in-plane translation must stay ~0 (projected out)
         assert float(jnp.abs(x[4])) < 0.5  # vertical (y) IS constrained
+
+
+class TestParityMode:
+    def test_parity_mode_converges(self):
+        """The reference-dynamics mode (closed-form s=1 Jacobian, -0.05
+        under-relaxation, no trust region) reaches the same optimum, just in
+        more iterations (LaserOdometry.cpp:512-575)."""
+        motion = jnp.asarray(_pose(x=0.2, y=0.0, z=0.3))
+        f_prev, f_cur, gt = _sweep_pair(motion)
+        # the 0.05 under-relaxation needs a longer budget on a cold start of
+        # this magnitude; the reference leans on warm starts per sweep
+        cfg = OdometryConfig(max_iterations=100)
+        x, st = odometry.odometry_solve(
+            f_cur.sharp, f_cur.flat, f_prev.less_sharp, f_prev.less_flat,
+            jnp.zeros(6), cfg, parity_mode=True,
+        )
+        M_est = twist.to_relative_motion(x)
+        err = np.array(se3.se3_log(se3.inverse(motion) @ M_est))
+        assert np.linalg.norm(err[:3]) < 0.08, f"trans err {err}"
+        assert bool(st.converged)
+        assert np.all(np.isfinite(np.array(x)))

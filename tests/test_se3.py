@@ -123,14 +123,13 @@ class TestTwistWarps:
         out = twist.warp_to_start(jnp.zeros(6), p, s)
         np.testing.assert_allclose(out, p, atol=1e-6)
 
-    def test_warp_full_s_matches_inverse(self):
-        # At s=1 the start-frame point is the full inverse motion applied:
-        # p_start = Ry(-ry)Rx(-rx)Rz(-rz)(p - t)
+    def test_warp_full_s_is_forward_tzyx(self):
+        # At s=1 the start-frame point is the full forward TZYX transform
+        # (LaserOdometry::transformToStart, LaserOdometry.cpp:135-142)
         x = jnp.array([0.05, -0.03, 0.08, 0.2, -0.1, 0.3])
         p = jax.random.normal(KEY, (5, 3))
         out = twist.warp_to_start(x, p, jnp.ones(5))
-        R = se3.rot_y(-x[1]) @ se3.rot_x(-x[0]) @ se3.rot_z(-x[2])
-        manual = (p - x[3:6]) @ R.T
+        manual = se3.apply(se3.euler6_to_mat(x), p)
         np.testing.assert_allclose(out, manual, atol=1e-6)
 
     def test_warp_to_end_consistency(self):
