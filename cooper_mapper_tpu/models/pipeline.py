@@ -20,12 +20,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PipelineConfig
+from ..fusion import imu_queue, ukf_estimator
 from ..maps import feature_map as fm
 from ..maps import local_map as lm
 from ..ops import features as feat_ops
 from ..ops.features import Sweep
 from ..utils import se3
-from . import laser_mapping, laser_odometry
+from . import laser_mapping, laser_odometry, transform_maintenance
 
 
 @dataclasses.dataclass
@@ -67,8 +68,21 @@ class SlamPipeline:
         self._sweep_idx = 0
         self.trajectory: list[np.ndarray] = []       # merged poses per sweep
         self.odom_trajectory: list[np.ndarray] = []
+        # IMU/UKF fusion (IMUQueue inside every LaserMatcher, LaserMatcher.cpp:47;
+        # engaged in LaserLocalization::transformUpdate, LaserLocalization.cpp:140-166)
+        self.ukf = ukf_estimator.create(cfg.ukf)
+        self.T_li = jnp.eye(4, dtype=jnp.float32)    # lidar -> imu extrinsic
+        self._last_stamp: Optional[float] = None
+        self._last_fused_pos: Optional[np.ndarray] = None
 
-    def process(self, sweep: Sweep) -> SweepResult:
+    def process(self, sweep: Sweep, imu: Optional[imu_queue.ImuBatch] = None,
+                stamp: Optional[float] = None) -> SweepResult:
+        """Process one sweep; optionally fuse an IMU window ending at ``stamp``.
+
+        With IMU data the UKF replays the window's predicts and is corrected
+        by the mapping result (LaserLocalization::transformUpdate); the fused
+        pose is available via ``fused_pose()`` / ``imu_rate_poses()``.
+        """
         cfg = self.cfg
         fc = feat_ops.extract_features(sweep, cfg.registration)
 
@@ -110,6 +124,27 @@ class SlamPipeline:
             mapping_success = bool(mo.result.success)
 
         merged = np.asarray(laser_mapping.merged_pose(self.matcher, L_now))
+
+        # ---- UKF fusion: replay IMU predicts, correct with the solve ------
+        if imu is not None and stamp is not None:
+            t_from = self._last_stamp if self._last_stamp is not None else stamp - 0.1
+            self.ukf = imu_queue.replay_predict(
+                self.ukf, imu, jnp.float32(t_from), jnp.float32(stamp), cfg.ukf
+            )
+            dt = max(stamp - t_from, 1e-3)
+            pos = merged[:3, 3]
+            vel = (
+                (pos - self._last_fused_pos) / dt
+                if self._last_fused_pos is not None else np.zeros(3)
+            )
+            if mapping_success is None or mapping_success or self.mode != "localization":
+                self.ukf = imu_queue.correct_from_lidar(
+                    self.ukf, jnp.asarray(merged, jnp.float32),
+                    jnp.asarray(vel, jnp.float32), self.T_li, cfg.ukf,
+                )
+            self._last_fused_pos = pos
+            self._last_stamp = stamp
+
         self._sweep_idx += 1
         self.trajectory.append(merged)
         self.odom_trajectory.append(np.asarray(L_now))
@@ -120,3 +155,20 @@ class SlamPipeline:
             mapping_success=mapping_success,
             odom_matched=int(odo_out.n_matched),
         )
+
+    # ---- fusion outputs ---------------------------------------------------
+
+    def fused_pose(self) -> np.ndarray:
+        """Current UKF pose in the lidar frame."""
+        return np.asarray(imu_queue.lidar_pose(self.ukf, self.T_li))
+
+    def imu_rate_poses(self, imu: imu_queue.ImuBatch):
+        """High-rate dead-reckoned pose trail from the latest merged pose
+        (TransformMaintenance equivalent).  Returns (poses [M,4,4], valid)."""
+        anchor = jnp.asarray(self.trajectory[-1], jnp.float32)
+        vel = jnp.asarray(ukf_estimator.velocity(self.ukf))
+        stamp = jnp.float32(self._last_stamp if self._last_stamp is not None else 0.0)
+        poses, valid = transform_maintenance.imu_rate_poses(
+            anchor, stamp, vel, imu, self.T_li
+        )
+        return np.asarray(poses), np.asarray(valid)

@@ -115,3 +115,27 @@ class TestEvaluation:
         stats = evaluation.online_error(est, gt)
         assert stats.n == 9
         assert stats.maximum < 1e-12
+
+
+class TestImuFusion:
+    def test_pipeline_with_imu(self):
+        from cooper_mapper_tpu.fusion import imu_queue
+
+        sweeps, gt = _simulate(n_sweeps=5)
+        pipe = SlamPipeline(_small_cfg(), mode="mapping")
+        for i, s in enumerate(sweeps):
+            stamp = 0.1 * (i + 1)
+            stamps = jnp.linspace(stamp - 0.1, stamp, 10)
+            imu = imu_queue.ImuBatch(
+                stamp=stamps.astype(jnp.float32),
+                acc=jnp.zeros((10, 3)),
+                gyro=jnp.zeros((10, 3)),
+                mask=jnp.ones(10, bool),
+            )
+            r = pipe.process(s, imu=imu, stamp=stamp)
+        fused = pipe.fused_pose()
+        # the fused pose should be near the merged SLAM pose
+        assert np.linalg.norm(fused[:3, 3] - r.merged_pose[:3, 3]) < 0.5
+        poses, valid = pipe.imu_rate_poses(imu)
+        assert poses.shape == (10, 4, 4)
+        assert np.all(np.isfinite(poses))
