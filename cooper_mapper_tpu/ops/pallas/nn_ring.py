@@ -155,7 +155,14 @@ def ring_minima_pallas(q_xyz, ref_xyz, ref_ring, ref_mask, n_rings: int,
 
 
 def ring_minima(q_xyz, ref_xyz, ref_ring, ref_mask, n_rings: int):
-    """Backend dispatch: Pallas on TPU, XLA elsewhere."""
-    if jax.default_backend() == "tpu":
+    """Backend dispatch.
+
+    The Pallas kernel is opt-in (COOPER_USE_PALLAS=1) until its Mosaic
+    compile time is resolved on the axon remote-compile path — the XLA
+    formulation is the default on every backend.
+    """
+    import os
+
+    if jax.default_backend() == "tpu" and os.environ.get("COOPER_USE_PALLAS") == "1":
         return ring_minima_pallas(q_xyz, ref_xyz, ref_ring, ref_mask, n_rings)
     return ring_minima_xla(q_xyz, ref_xyz, ref_ring, ref_mask, n_rings)
