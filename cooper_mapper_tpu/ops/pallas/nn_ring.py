@@ -27,30 +27,38 @@ BIG = 1.0e12
 
 
 def ring_minima_xla(q_xyz, ref_xyz, ref_ring, ref_mask, n_rings: int):
-    """Fallback implementation: dense distances once, then a scan over rings
-    (keeps peak memory at one [Q, M] tile instead of [R, Q, M])."""
-    d = (
-        jnp.sum(q_xyz * q_xyz, -1)[:, None]
-        - 2.0 * q_xyz @ ref_xyz.T
-        + jnp.sum(ref_xyz * ref_xyz, -1)[None, :]
-    )
-    d = jnp.where(ref_mask[None, :], d, BIG)
+    """Fallback implementation via segment minima over the reference axis.
+
+    One [M, Q] distance tile + a handful of segment passes (independent of
+    the ring count).  Ties break toward the smallest reference index, same
+    as argmin.
+    """
     M = ref_xyz.shape[0]
-    ring = jnp.where(ref_mask, ref_ring, n_rings)  # invalid -> overflow ring
-    col = jnp.arange(M)[None, :]
+    # distances with reference on the leading (segment) axis
+    dT = (
+        jnp.sum(ref_xyz * ref_xyz, -1)[:, None]
+        - 2.0 * ref_xyz @ q_xyz.T
+        + jnp.sum(q_xyz * q_xyz, -1)[None, :]
+    )
+    dT = jnp.where(ref_mask[:, None], dT, BIG)
+    ring = jnp.where(ref_mask, ref_ring, n_rings).astype(jnp.int32)
+    idx_col = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32)[:, None], dT.shape)
+    BIG_I = jnp.int32(2**30)
 
-    def per_ring(rr):
-        dr = jnp.where(ring[None, :] == rr, d, BIG)
-        i1 = jnp.argmin(dr, axis=-1)
-        m1 = jnp.take_along_axis(dr, i1[:, None], -1)[:, 0]
-        dr2 = jnp.where(col == i1[:, None], BIG, dr)
-        i2 = jnp.argmin(dr2, axis=-1)
-        m2 = jnp.take_along_axis(dr2, i2[:, None], -1)[:, 0]
-        return m1, i1.astype(jnp.int32), m2, i2.astype(jnp.int32)
-
-    m1, i1, m2, i2 = jax.lax.map(per_ring, jnp.arange(n_rings))
-    t = lambda a: jnp.swapaxes(a, 0, 1)
-    return t(m1), t(i1), t(m2), t(i2)
+    min1 = jax.ops.segment_min(dT, ring, num_segments=n_rings + 1)   # [R+1, Q]
+    hit1 = dT == min1[ring]
+    idx1 = jax.ops.segment_min(
+        jnp.where(hit1, idx_col, BIG_I), ring, num_segments=n_rings + 1
+    )
+    d2 = jnp.where(idx_col == idx1[ring], BIG, dT)
+    min2 = jax.ops.segment_min(d2, ring, num_segments=n_rings + 1)
+    hit2 = d2 == min2[ring]
+    idx2 = jax.ops.segment_min(
+        jnp.where(hit2, idx_col, BIG_I), ring, num_segments=n_rings + 1
+    )
+    fix = lambda i: jnp.where(i >= BIG_I, 0, i)
+    t = lambda a: jnp.swapaxes(a[:n_rings], 0, 1)
+    return t(min1), t(fix(idx1)), t(min2), t(fix(idx2))
 
 
 def _ring_minima_kernel(q_ref, r_ref, ring_ref, o_min1, o_idx1, o_min2, o_idx2,
