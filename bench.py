@@ -74,11 +74,15 @@ def main():
     xs = solve(sharp, flat, ref_c, ref_s, x0)
     jax.block_until_ready(xs)  # compile + warmup
 
+    # measurement notes: inputs VARY per repetition (the runtime path caches
+    # executions for bit-identical inputs) and completion is forced with
+    # device_get per call, not just block_until_ready.
     reps = 5
     t0 = time.perf_counter()
-    for _ in range(reps):
-        xs = solve(sharp, flat, ref_c, ref_s, x0)
-    jax.block_until_ready(xs)
+    for r in range(reps):
+        x0r = jnp.asarray(0.02 * rng.randn(batch, 6), jnp.float32)
+        xs = solve(sharp, flat, ref_c, ref_s, x0r)
+        jax.device_get(xs)
     dt = (time.perf_counter() - t0) / reps
 
     solves_per_s = batch / dt

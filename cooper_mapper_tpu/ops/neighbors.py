@@ -80,26 +80,48 @@ def _select_ring(minv, idxv, ring_sel):
     return take(m), take(idxv)
 
 
+# Implementation note: two interchangeable formulations exist for the
+# ring-structured searches.  The dense masked-argmin form below materializes
+# one [Q, M] distance tile and runs a few masked argmins over it — measured
+# fastest under XLA on TPU (the segment-min/ring-minima form in
+# ops/pallas/nn_ring.py lowers to scatter reductions that run ~2x slower;
+# its Pallas kernel avoids the HBM tile entirely but is gated on Mosaic
+# compile cost, COOPER_USE_PALLAS=1).
+
+
 def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
                  n_rings: int = 16):
     """Odometry corner correspondences (LaserOdometry.cpp:358-408).
 
     A = nearest reference corner; B = nearest corner on a *different* ring
     within ``ring_span`` rings of A's ring.  Returns (ia, ib, valid [Q]).
-
-    Built on the fused per-ring minima primitive (ops/pallas/nn_ring.py):
-    one streamed pass over the reference cloud instead of materialized
-    [Q, M] distance matrices with repeated masked argmins.
     """
-    min1, idx1, _, _ = _ring_minima(q_xyz, ref, n_rings)
-    ring_a = jnp.argmin(min1, axis=-1)                        # [Q]
-    da = jnp.take_along_axis(min1, ring_a[:, None], -1)[:, 0]
-    ia = jnp.take_along_axis(idx1, ring_a[:, None], -1)[:, 0]
+    import os
 
-    rr = jnp.arange(n_rings)[None, :]
-    diff = jnp.abs(rr - ring_a[:, None]).astype(jnp.float32)
-    adj = (diff > 0.0) & (diff <= ring_span)
-    db, ib = _select_ring(min1, idx1, adj)
+    if os.environ.get("COOPER_USE_PALLAS") == "1" and jax.default_backend() == "tpu":
+        min1, idx1, _, _ = _ring_minima(q_xyz, ref, n_rings)
+        ring_a = jnp.argmin(min1, axis=-1)
+        da = jnp.take_along_axis(min1, ring_a[:, None], -1)[:, 0]
+        ia = jnp.take_along_axis(idx1, ring_a[:, None], -1)[:, 0]
+        rr = jnp.arange(n_rings)[None, :]
+        diff = jnp.abs(rr - ring_a[:, None]).astype(jnp.float32)
+        adj = (diff > 0.0) & (diff <= ring_span)
+        db, ib = _select_ring(min1, idx1, adj)
+        valid = (da < max_sq_dist) & (db < max_sq_dist)
+        return ia, ib, valid
+
+    d = pairwise_sq_dist(q_xyz, ref.xyz)
+    d = jnp.where(ref.mask[None, :], d, BIG)
+    ia = jnp.argmin(d, axis=-1)
+    da = jnp.take_along_axis(d, ia[:, None], -1)[:, 0]
+    ring_a = ref.ring[ia]
+    ring_diff = jnp.abs(
+        ref.ring[None, :].astype(jnp.float32) - ring_a[:, None].astype(jnp.float32)
+    )
+    adj = (ring_diff > 0.0) & (ring_diff <= ring_span)
+    d2 = jnp.where(adj, d, BIG)
+    ib = jnp.argmin(d2, axis=-1)
+    db = jnp.take_along_axis(d2, ib[:, None], -1)[:, 0]
     valid = (da < max_sq_dist) & (db < max_sq_dist)
     return ia, ib, valid
 
@@ -112,16 +134,40 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
     C = nearest surf on a different ring within ``ring_span``.
     Returns (ia, ib, ic, valid [Q]).
     """
-    min1, idx1, min2, idx2 = _ring_minima(q_xyz, ref, n_rings)
-    ring_a = jnp.argmin(min1, axis=-1)
-    take = lambda a: jnp.take_along_axis(a, ring_a[:, None], -1)[:, 0]
-    da, ia = take(min1), take(idx1)
-    db, ib = take(min2), take(idx2)                           # runner-up, same ring
+    import os
 
-    rr = jnp.arange(n_rings)[None, :]
-    diff = jnp.abs(rr - ring_a[:, None]).astype(jnp.float32)
-    adj = (diff > 0.0) & (diff <= ring_span)
-    dc, ic = _select_ring(min1, idx1, adj)
+    if os.environ.get("COOPER_USE_PALLAS") == "1" and jax.default_backend() == "tpu":
+        min1, idx1, min2, idx2 = _ring_minima(q_xyz, ref, n_rings)
+        ring_a = jnp.argmin(min1, axis=-1)
+        take = lambda a: jnp.take_along_axis(a, ring_a[:, None], -1)[:, 0]
+        da, ia = take(min1), take(idx1)
+        db, ib = take(min2), take(idx2)
+        rr = jnp.arange(n_rings)[None, :]
+        diff = jnp.abs(rr - ring_a[:, None]).astype(jnp.float32)
+        adj = (diff > 0.0) & (diff <= ring_span)
+        dc, ic = _select_ring(min1, idx1, adj)
+        valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
+        return ia, ib, ic, valid
+
+    d = pairwise_sq_dist(q_xyz, ref.xyz)
+    d = jnp.where(ref.mask[None, :], d, BIG)
+    ia = jnp.argmin(d, axis=-1)
+    da = jnp.take_along_axis(d, ia[:, None], -1)[:, 0]
+    ring_a = ref.ring[ia]
+
+    same_ring = ref.ring[None, :] == ring_a[:, None]
+    not_a = jnp.arange(ref.capacity)[None, :] != ia[:, None]
+    d_b = jnp.where(same_ring & not_a, d, BIG)
+    ib = jnp.argmin(d_b, axis=-1)
+    db = jnp.take_along_axis(d_b, ib[:, None], -1)[:, 0]
+
+    ring_diff = jnp.abs(
+        ref.ring[None, :].astype(jnp.float32) - ring_a[:, None].astype(jnp.float32)
+    )
+    adj = (ring_diff > 0.0) & (ring_diff <= ring_span)
+    d_c = jnp.where(adj, d, BIG)
+    ic = jnp.argmin(d_c, axis=-1)
+    dc = jnp.take_along_axis(d_c, ic[:, None], -1)[:, 0]
 
     valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
     return ia, ib, ic, valid

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..config import ScanMatchConfig
 from ..utils import twist
 from ..utils.cloud import Cloud
+from . import bucket_knn
 from . import gauss_newton as gn
 from . import neighbors, residuals
 from .odometry import _reference_jacobian_rows
@@ -45,7 +46,8 @@ class ScanMatchResult:
 
 
 def _build_residuals(x, corner: Cloud, surf: Cloud, ref_corner: Cloud,
-                     ref_surf: Cloud, cfg: ScanMatchConfig, chunk: int):
+                     ref_surf: Cloud, cfg: ScanMatchConfig, chunk: int,
+                     grids=None):
     """One correspondence+residual build at pose x.
 
     Returns (J, b, ok, line_found, plane_found) with J:[Nc+Ns,6].
@@ -53,8 +55,13 @@ def _build_residuals(x, corner: Cloud, surf: Cloud, ref_corner: Cloud,
     pc = twist.point_to_map(x, corner.xyz)
     ps = twist.point_to_map(x, surf.xyz)
 
-    idx_c, d_c = neighbors.knn_chunked(pc, ref_corner.xyz, ref_corner.mask, cfg.knn, chunk)
-    idx_s, d_s = neighbors.knn_chunked(ps, ref_surf.xyz, ref_surf.mask, cfg.knn, chunk)
+    if grids is not None:
+        grid_c, grid_s = grids
+        idx_c, d_c = bucket_knn.query(grid_c, ref_corner.xyz, ref_corner.mask, pc, cfg.knn)
+        idx_s, d_s = bucket_knn.query(grid_s, ref_surf.xyz, ref_surf.mask, ps, cfg.knn)
+    else:
+        idx_c, d_c = neighbors.knn_chunked(pc, ref_corner.xyz, ref_corner.mask, cfg.knn, chunk)
+        idx_s, d_s = neighbors.knn_chunked(ps, ref_surf.xyz, ref_surf.mask, cfg.knn, chunk)
 
     gate_c = (d_c[:, -1] < cfg.nn_sq_dist_max) & corner.mask
     gate_s = (d_s[:, -1] < cfg.nn_sq_dist_max) & surf.mask
@@ -101,9 +108,20 @@ def scan_match(
 
     enough_ref = (ref_corner.count() >= 50) & (ref_surf.count() >= 100)
 
+    # the reference clouds are fixed for the whole solve: bucket them once
+    # (the per-cube kd-tree build of FeatureMap.h:438,453 / ScanMatch.cpp:75)
+    grids = None
+    if cfg.use_bucket_grid:
+        grids = (
+            bucket_knn.build(ref_corner.xyz, ref_corner.mask, cfg.bucket_cell,
+                             cfg.bucket_hash_bits, cfg.bucket_capacity),
+            bucket_knn.build(ref_surf.xyz, ref_surf.mask, cfg.bucket_cell,
+                             cfg.bucket_hash_bits, cfg.bucket_capacity),
+        )
+
     def step(st, it, compute_projector=False):
         J, b, ok, _ = _build_residuals(
-            st.x, corner, surf, ref_corner, ref_surf, cfg, chunk
+            st.x, corner, surf, ref_corner, ref_surf, cfg, chunk, grids
         )
         JtJ, Jtb, n_valid = gn.assemble_normal_eqs(J, b, ok)
         return gn.gn_step(
@@ -123,7 +141,7 @@ def scan_match(
 
     # final diagnostics at the solution (score gate, ScanMatch.cpp:263-341)
     J, b, ok, found = _build_residuals(
-        st.x, corner, surf, ref_corner, ref_surf, cfg, chunk
+        st.x, corner, surf, ref_corner, ref_surf, cfg, chunk, grids
     )
     score = jnp.sum(jnp.where(ok, jnp.exp(-jnp.abs(b)), 0.0), axis=-1)
     total = corner.count() + surf.count()

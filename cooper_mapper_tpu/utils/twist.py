@@ -30,6 +30,23 @@ import jax.numpy as jnp
 from . import se3
 
 
+def _tzyx_apply_elementwise(rx, ry, rz, tx, ty, tz, points):
+    """Apply Rz(rz) Ry(ry) Rx(rx) p + t with per-point angles, elementwise.
+
+    rx/ry/rz/tx/ty/tz broadcast against points[..., 0]; avoids materializing
+    per-point 3x3 matrices (batched tiny matmuls lower poorly on the MXU).
+    """
+    sx, cx = jnp.sin(rx), jnp.cos(rx)
+    sy, cy = jnp.sin(ry), jnp.cos(ry)
+    sz, cz = jnp.sin(rz), jnp.cos(rz)
+    px, py, pz = points[..., 0], points[..., 1], points[..., 2]
+    # R = Rz Ry Rx (see se3.euler_zyx_to_rot)
+    ox = cz * cy * px + (cz * sy * sx - sz * cx) * py + (cz * sy * cx + sz * sx) * pz + tx
+    oy = sz * cy * px + (sz * sy * sx + cz * cx) * py + (sz * sy * cx - cz * sx) * pz + ty
+    oz = -sy * px + cy * sx * py + cy * cx * pz + tz
+    return jnp.stack([ox, oy, oz], axis=-1)
+
+
 def warp_to_start(x, points, s):
     """Project points captured at time fractions ``s`` to the sweep start.
 
@@ -37,11 +54,11 @@ def warp_to_start(x, points, s):
     Matches LaserOdometry::transformToStart (LaserOdometry.cpp:135-142):
     ``p_start = TZYX(s*x) p`` with the twist linearly time-scaled.
     """
-    sa = s
-    R = se3.euler_zyx_to_rot(
-        sa * x[..., None, 0], sa * x[..., None, 1], sa * x[..., None, 2]
+    return _tzyx_apply_elementwise(
+        s * x[..., None, 0], s * x[..., None, 1], s * x[..., None, 2],
+        s * x[..., None, 3], s * x[..., None, 4], s * x[..., None, 5],
+        points,
     )
-    return (R @ points[..., None])[..., 0] + s[..., None] * x[..., None, 3:6]
 
 
 def warp_to_end(x, points, s):
@@ -58,8 +75,11 @@ def point_to_map(x, points):
     Matches pointAssociateToMap (transform_utils.h:476-482).
     x: [..., 6]; points: [..., N, 3].
     """
-    R = se3.euler_zyx_to_rot(x[..., 0], x[..., 1], x[..., 2])
-    return points @ jnp.swapaxes(R, -1, -2) + x[..., None, 3:6]
+    return _tzyx_apply_elementwise(
+        x[..., None, 0], x[..., None, 1], x[..., None, 2],
+        x[..., None, 3], x[..., None, 4], x[..., None, 5],
+        points,
+    )
 
 
 def map_to_point(x, points):
