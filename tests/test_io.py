@@ -157,3 +157,45 @@ class TestIcp:
         err = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(T_true)) @ T))
         assert np.linalg.norm(err) < 0.05, err
         assert float(rmse) < 0.1
+
+
+class TestNativeBinner:
+    def test_native_matches_semantics(self):
+        from cooper_mapper_tpu.io import native_binner
+
+        if not native_binner.available():
+            import pytest
+            pytest.skip("libsweep_binner.so not built")
+        rng = np.random.RandomState(0)
+        n = 20000
+        az = rng.uniform(0, 2 * np.pi, n)
+        elev = np.deg2rad(rng.uniform(-15, 15, n))
+        # smooth surface (so the feature kernel finds flats downstream)
+        r = 10.0 + 0.5 * np.sin(3 * az)
+        pts_loam = np.stack(
+            [r * np.cos(elev) * np.cos(az), r * np.sin(elev), r * np.cos(elev) * np.sin(az)], -1
+        ).astype(np.float32)
+        pts_dev = pts_loam[:, [2, 0, 1]].copy()   # invert the LOAM axis remap
+        xyz, mask, rel = native_binner.bin_sweep_native(pts_dev, 16, 512)
+        assert mask.sum() > 5000
+        got = xyz[mask]
+        # ring assignment: vertical angle within rounding of the ring's angle
+        va = np.rad2deg(np.arctan2(got[:, 1], np.hypot(got[:, 0], got[:, 2])))
+        rings = np.repeat(np.arange(16), mask.sum(1))
+        np.testing.assert_array_less(np.abs(va - (-15 + 2 * rings)), 1.01)
+        # azimuth ordering: rel_time monotone within each ring's occupied cells
+        for rr in range(16):
+            rels = rel[rr][mask[rr]]
+            assert np.all(np.diff(rels) >= 0)
+        # grid feeds the feature kernel
+        import jax.numpy as jnp
+        from cooper_mapper_tpu.config import RegistrationConfig
+        from cooper_mapper_tpu.ops import features
+        from cooper_mapper_tpu.ops.features import Sweep
+
+        sweep = Sweep(jnp.asarray(np.where(mask[..., None], xyz, 1e6)),
+                      jnp.asarray(mask), jnp.asarray(rel))
+        fc = features.extract_features(
+            sweep, RegistrationConfig(n_rings=16, max_points_per_ring=512)
+        )
+        assert int(fc.less_flat.count()) > 50
