@@ -6,21 +6,23 @@ of cubes rides with the sensor; on cube-crossings, cubes leaving the window
 are flushed to per-cube PCD files and cubes entering it are loaded from disk
 (setupPCDFileName/update, :129-161, :504-677).  The reference's ``_indexMap``
 indirection table becomes the device grid of maps/feature_map plus a host
-ledger of which world cubes are dirty/backed on disk.
+ledger of which world cubes are backed on disk.
 
 The device window IS a FeatureMapState: recentring, insertion, surround
 gather, and the scan-match all reuse the static-shape kernels.  Paging is an
-explicit host step (``page``) the pipeline calls on sensor cube-crossings —
-the host/device split mirrors the reference's disk/RAM split, with
-device_put/device_get as the transfer layer (async prefetch is a natural
-extension; SURVEY.md §7.3 "out-of-core map paging").
+explicit host step (``page``) the pipeline calls on sensor cube-crossings.
+Where the reference blocks its mapping thread on PCD I/O inside update(),
+this pager flushes ONLY the cubes rolling out of the window and — when the
+native engine (native/cube_pager.cpp) is built — does so write-behind on a
+C++ thread pool, with entering cubes prefetched in parallel (SURVEY.md §7.3
+"out-of-core map paging -> async host-device transfer overlap").
 """
 
 from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -29,6 +31,7 @@ from ..config import MapConfig
 from ..utils import cloud as cloud_lib
 from . import feature_map as fm
 from ..io import pcd
+from ..io import native_pager
 
 
 Key = Tuple[int, int, int]
@@ -41,11 +44,20 @@ class DynamicFeatureMap:
     state: fm.FeatureMapState
     on_disk: Dict[Key, bool] = dataclasses.field(default_factory=dict)
     prev_center: Optional[np.ndarray] = None
+    pager: Optional["native_pager.CubePager"] = None
 
     @classmethod
-    def create(cls, cfg: MapConfig, directory: str) -> "DynamicFeatureMap":
+    def create(cls, cfg: MapConfig, directory: str,
+               use_native_pager: Optional[bool] = None) -> "DynamicFeatureMap":
         os.makedirs(directory, exist_ok=True)
-        dmap = cls(cfg=cfg, directory=directory, state=fm.create(cfg))
+        if use_native_pager is None:
+            use_native_pager = (
+                os.environ.get("COOPER_NATIVE_PAGER", "1") == "1"
+                and native_pager.CubePager.available()
+            )
+        pager = native_pager.CubePager(directory) if use_native_pager else None
+        dmap = cls(cfg=cfg, directory=directory, state=fm.create(cfg),
+                   pager=pager)
         dmap._load_manifest()
         return dmap
 
@@ -76,6 +88,19 @@ class DynamicFeatureMap:
 
     # -- paging ------------------------------------------------------------
 
+    def _window_shift(self, sensor_pos: np.ndarray) -> np.ndarray:
+        """Host mirror of fm.recenter's shift computation."""
+        cfg = self.cfg
+        dims = np.array(cfg.n_cubes, np.int64)
+        m = cfg.margin_cubes
+        local = (
+            np.asarray(fm.world_to_cube(jnp.asarray(sensor_pos), cfg))
+            - np.asarray(self.state.origin)
+        )
+        lo = np.minimum(local - m, 0)
+        hi = np.maximum(local - (dims - 1 - m), 0)
+        return lo + hi
+
     def page(self, sensor_pos: np.ndarray) -> None:
         """Flush cubes leaving the window, load cubes entering it.
 
@@ -86,67 +111,122 @@ class DynamicFeatureMap:
         center = np.asarray(fm.world_to_cube(jnp.asarray(sensor_pos), cfg))
         if self.prev_center is not None and np.all(center == self.prev_center):
             return
-
-        # flush BEFORE recentring: the roll invalidates cubes leaving the
-        # window, so their contents must be on disk first
-        self._flush_all_occupied()
-        self.state = fm.recenter(self.state, jnp.asarray(sensor_pos), cfg)
-        new_origin = np.asarray(self.state.origin)
-        nx, ny, nz = cfg.n_cubes
-
-        # load cubes newly inside the window
-        for key, _ in list(self.on_disk.items()):
-            local = np.array(key) - new_origin
-            if np.all(local >= 0) and np.all(local < np.array([nx, ny, nz])):
-                self._load_cube(key)
         self.prev_center = center
 
-    def _flush_all_occupied(self) -> None:
+        shift = self._window_shift(np.asarray(sensor_pos))
+        if not np.any(shift != 0):
+            return
+
+        # flush BEFORE recentring: the roll invalidates cubes leaving the
+        # window, so their contents must be queued for disk first
+        self._flush_keys(self._leaving_keys(shift))
+        self.state = fm.recenter(self.state, jnp.asarray(sensor_pos), cfg)
+        self._load_entering()
+
+    def _occupied_keys(self) -> List[Tuple[Key, int, int]]:
+        """All (world key, type_id, flat slot) with stored points."""
         cfg = self.cfg
-        nx, ny, nz = cfg.n_cubes
+        _, ny, nz = cfg.n_cubes
         origin = np.asarray(self.state.origin)
+        out = []
         for type_id, cc in ((0, self.state.corner), (1, self.state.surf)):
             counts = np.asarray(cc.count)
-            xyz = None
-            mask = None
             for flat in np.nonzero(counts > 0)[0]:
-                if xyz is None:
-                    xyz = np.asarray(cc.xyz)
-                    mask = np.asarray(cc.mask)
                 i, rem = divmod(int(flat), ny * nz)
                 j, k = divmod(rem, nz)
-                key = (int(origin[0] + i), int(origin[1] + j), int(origin[2] + k))
-                pts = xyz[flat][mask[flat]]
+                key = (int(origin[0] + i), int(origin[1] + j),
+                       int(origin[2] + k))
+                out.append((key, type_id, int(flat)))
+        return out
+
+    def _leaving_keys(self, shift: np.ndarray) -> List[Tuple[Key, int, int]]:
+        """Occupied cubes whose slots roll out of the window under shift."""
+        dims = np.array(self.cfg.n_cubes, np.int64)
+        origin = np.asarray(self.state.origin)
+        leaving = []
+        for key, type_id, flat in self._occupied_keys():
+            local = np.array(key, np.int64) - origin - shift
+            if np.any(local < 0) or np.any(local >= dims):
+                leaving.append((key, type_id, flat))
+        return leaving
+
+    def _flush_keys(self, items: List[Tuple[Key, int, int]]) -> None:
+        if not items:
+            return
+        xyz = {0: np.asarray(self.state.corner.xyz),
+               1: np.asarray(self.state.surf.xyz)}
+        mask = {0: np.asarray(self.state.corner.mask),
+                1: np.asarray(self.state.surf.mask)}
+        for key, type_id, flat in items:
+            pts = xyz[type_id][flat][mask[type_id][flat]]
+            if self.pager is not None:
+                self.pager.flush(type_id, key, pts)  # write-behind
+            else:
                 pcd.write_pcd(self._cube_file(key, type_id), pts)
-                self.on_disk[key] = True
+            self.on_disk[key] = True
         self._save_manifest()
 
-    def _load_cube(self, key: Key) -> None:
+    def _flush_all_occupied(self) -> None:
+        self._flush_keys(self._occupied_keys())
+
+    def _entering_keys(self) -> List[Key]:
+        """Disk-backed cubes inside the (post-recenter) window whose slot is
+        empty (never double-insert over resident points)."""
         cfg = self.cfg
-        for type_id in (0, 1):
-            path = self._cube_file(key, type_id)
-            if not os.path.exists(path):
+        dims = np.array(cfg.n_cubes, np.int64)
+        origin = np.asarray(self.state.origin)
+        corner_counts = np.asarray(self.state.corner.count)
+        surf_counts = np.asarray(self.state.surf.count)
+        _, ny, nz = cfg.n_cubes
+        keys = []
+        for key in self.on_disk:
+            local = np.array(key, np.int64) - origin
+            if np.any(local < 0) or np.any(local >= dims):
                 continue
-            xyz, _ = pcd.read_pcd(path)
-            if len(xyz) == 0:
-                continue
-            # skip if the window already holds points for this cube
-            flat, ok = fm._grid_index(
-                jnp.asarray(np.array(key), jnp.int32), self.state.origin, cfg
-            )
-            if not bool(ok):
-                continue
-            count_here = int(
-                (self.state.corner if type_id == 0 else self.state.surf).count[int(flat)]
-            )
-            if count_here > 0:
-                continue
-            c = cloud_lib.from_points(jnp.asarray(xyz))
-            empty = cloud_lib.empty(1)
-            if type_id == 0:
-                self.state = fm.add_feature_cloud(self.state, c, empty, cfg)
-            else:
-                self.state = fm.add_feature_cloud(self.state, empty, c, cfg)
+            flat = (local[0] * ny + local[1]) * nz + local[2]
+            if corner_counts[flat] == 0 and surf_counts[flat] == 0:
+                keys.append(key)
+        return keys
+
+    def _load_entering(self) -> None:
+        cfg = self.cfg
+        keys = self._entering_keys()
+        if not keys:
+            return
+        caps = {0: cfg.corner_cube_capacity, 1: cfg.surf_cube_capacity}
+        if self.pager is not None:
+            # barrier first: a cube may re-enter while its write-behind
+            # flush is still queued; reads must not race those writes
+            self.pager.sync()
+            # overlap all cube reads across the native thread pool
+            tickets = [(key, t, self.pager.prefetch(t, key))
+                       for key in keys for t in (0, 1)]
+            loaded = {(key, t): self.pager.fetch(tk, caps[t])
+                      for key, t, tk in tickets}
+        else:
+            loaded = {}
+            for key in keys:
+                for t in (0, 1):
+                    path = self._cube_file(key, t)
+                    if os.path.exists(path):
+                        loaded[(key, t)] = pcd.read_pcd(path)[0]
+                    else:
+                        loaded[(key, t)] = np.zeros((0, 3), np.float32)
+        for key in keys:
+            self._insert_loaded(loaded.get((key, 0)), loaded.get((key, 1)))
+
+    def _insert_loaded(self, corner_xyz, surf_xyz) -> None:
+        """Insert disk-loaded points at FIXED capacities (one jit shape)."""
+        cfg = self.cfg
+
+        def pad(xyz, cap):
+            if xyz is None or len(xyz) == 0:
+                return cloud_lib.empty(cap)
+            return cloud_lib.from_points(jnp.asarray(xyz[:cap]), capacity=cap)
+
+        c = pad(corner_xyz, cfg.corner_cube_capacity)
+        s = pad(surf_xyz, cfg.surf_cube_capacity)
+        self.state = fm.add_feature_cloud(self.state, c, s, cfg)
 
     # -- delegation --------------------------------------------------------
 
@@ -158,3 +238,5 @@ class DynamicFeatureMap:
 
     def save(self) -> None:
         self._flush_all_occupied()
+        if self.pager is not None:
+            self.pager.sync()  # write-behind barrier: everything durable

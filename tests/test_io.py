@@ -79,6 +79,55 @@ class TestMapPersistence:
         assert dst.read_text().split() == ["10", "0", "6", "1", "3", "50.0"]
 
 
+class TestNativePager:
+    def test_flush_fetch_roundtrip(self, tmp_path):
+        from cooper_mapper_tpu.io import native_pager
+
+        if not native_pager.CubePager.available():
+            import pytest
+
+            pytest.skip("libcube_pager.so not built")
+        pager = native_pager.CubePager(str(tmp_path), n_threads=3)
+        rng = np.random.RandomState(1)
+        clouds = {k: rng.randn(10 + 7 * k, 3).astype(np.float32)
+                  for k in range(6)}
+        for k, pts in clouds.items():
+            pager.flush(0, (k, 0, 0), pts)
+        pager.sync()
+        # files interchangeable with the Python PCD reader
+        xyz, _ = pcd.read_pcd(str(tmp_path / "cube_0_2_0_0.pcd"))
+        np.testing.assert_allclose(xyz, clouds[2])
+        # parallel prefetch + fetch
+        tickets = {k: pager.prefetch(0, (k, 0, 0)) for k in clouds}
+        for k, t in tickets.items():
+            got = pager.fetch(t, 1024)
+            np.testing.assert_allclose(got, clouds[k])
+        # missing file -> empty; capacity truncation honored
+        t = pager.prefetch(0, (99, 9, 9))
+        assert pager.fetch(t, 16).shape == (0, 3)
+        pager.flush(1, (0, 0, 0), rng.randn(50, 3).astype(np.float32))
+        pager.sync()
+        t = pager.prefetch(1, (0, 0, 0))
+        assert pager.fetch(t, 20).shape == (20, 3)
+        pager.close()
+
+    def test_python_pcd_reads_native_and_vice_versa(self, tmp_path):
+        from cooper_mapper_tpu.io import native_pager
+
+        if not native_pager.CubePager.available():
+            import pytest
+
+            pytest.skip("libcube_pager.so not built")
+        pager = native_pager.CubePager(str(tmp_path))
+        pts = np.arange(30, dtype=np.float32).reshape(10, 3)
+        # python-written file (with intensity column) read by native pager
+        pcd.write_pcd(str(tmp_path / "cube_0_5_5_5.pcd"), pts,
+                      intensity=np.ones(10, np.float32))
+        got = pager.fetch(pager.prefetch(0, (5, 5, 5)), 64)
+        np.testing.assert_allclose(got, pts)
+        pager.close()
+
+
 class TestDynamicMap:
     def test_page_out_and_back(self, tmp_path):
         dmap = dynamic_map.DynamicFeatureMap.create(CFG, str(tmp_path))
@@ -93,6 +142,48 @@ class TestDynamicMap:
         dmap.page(np.array([0.0, 0.0, 0.0]))
         corner, _ = dmap.get_surround(np.zeros(3))
         assert int(corner.count()) == 2
+
+    def test_native_matches_python_paging(self, tmp_path):
+        from cooper_mapper_tpu.io import native_pager
+
+        if not native_pager.CubePager.available():
+            import pytest
+
+            pytest.skip("libcube_pager.so not built")
+        rng = np.random.RandomState(3)
+        pts = jnp.asarray(rng.uniform(-12, 12, (40, 3)).astype(np.float32))
+        results = []
+        for use_native in (False, True):
+            d = str(tmp_path / ("native" if use_native else "python"))
+            dmap = dynamic_map.DynamicFeatureMap.create(
+                CFG, d, use_native_pager=use_native
+            )
+            dmap.add_feature_cloud(
+                cloud_lib.from_points(pts), cloud_lib.from_points(pts)
+            )
+            # wander out, further, and back: multiple flush/load cycles
+            for pos in ([60.0, 0, 0], [120.0, 0, 0], [0.0, 0, 0]):
+                dmap.page(np.array(pos, np.float64))
+            dmap.save()
+            corner, surf = dmap.get_surround(np.zeros(3))
+            xyz = np.asarray(corner.xyz)[np.asarray(corner.mask)]
+            results.append(xyz[np.lexsort(xyz.T)])
+        np.testing.assert_allclose(results[0], results[1], atol=1e-6)
+        # every original point survived the out-and-back paging round trip
+        orig = np.asarray(pts)
+        assert len(results[0]) == len(orig)
+        np.testing.assert_allclose(
+            results[0], orig[np.lexsort(orig.T)], atol=1e-5
+        )
+
+    def test_page_without_crossing_is_noop(self, tmp_path):
+        dmap = dynamic_map.DynamicFeatureMap.create(CFG, str(tmp_path))
+        c = cloud_lib.from_points(jnp.array([[1.0, 1.0, 1.0]]), capacity=4)
+        dmap.add_feature_cloud(c, c)
+        dmap.page(np.zeros(3))
+        dmap.page(np.array([1.0, 0.0, 0.0]))  # same cube, no crossing
+        assert len(dmap.on_disk) == 0  # nothing flushed
+        assert int(jnp.sum(dmap.state.corner.count)) == 1
 
 
 class TestFeatureExtracter:
