@@ -52,15 +52,12 @@ class Correspondences:
     ok_s: jax.Array  # [Ns]
 
 
-def _reference_jacobian_rows(x, points, coeff_dir):
-    """The reference's closed-form Jacobian at s=1 (LaserOdometry.cpp:557-575).
+def _tzyx_rotation_rows(srx, crx, sry, cry, srz, crz, points, coeff_dir):
+    """coeff . d(Rz Ry Rx p)/d(rx, ry, rz) with per-point angle sines/cosines.
 
-    The same rows as the exact map-warp Jacobian d(Rz Ry Rx p + t)/d(params)
-    dotted with coeff — the reference applies it to the start-warp too.
+    The closed-form trig rows of LaserOdometry.cpp:557-575, generalized to
+    elementwise angles so the exact time-scaled Jacobian can reuse them.
     """
-    srx, crx = jnp.sin(x[0]), jnp.cos(x[0])
-    sry, cry = jnp.sin(x[1]), jnp.cos(x[1])
-    srz, crz = jnp.sin(x[2]), jnp.cos(x[2])
     px, py, pz = points[..., 0], points[..., 1], points[..., 2]
     cx, cy, cz = coeff_dir[..., 0], coeff_dir[..., 1], coeff_dir[..., 2]
 
@@ -78,13 +75,42 @@ def _reference_jacobian_rows(x, points, coeff_dir):
         (-srz * cry * px - (srz * sry * srx + crz * crx) * py + (crz * srx - srz * sry * crx) * pz) * cx
         + (crz * cry * px + (crz * sry * srx - srz * crx) * py + (crz * sry * crx + srz * srx) * pz) * cy
     )
+    return arx, ary, arz
+
+
+def _reference_jacobian_rows(x, points, coeff_dir):
+    """The reference's closed-form Jacobian at s=1 (LaserOdometry.cpp:557-575).
+
+    The same rows as the exact map-warp Jacobian d(Rz Ry Rx p + t)/d(params)
+    dotted with coeff — the reference applies it to the start-warp too.
+    """
+    arx, ary, arz = _tzyx_rotation_rows(
+        jnp.sin(x[0]), jnp.cos(x[0]), jnp.sin(x[1]), jnp.cos(x[1]),
+        jnp.sin(x[2]), jnp.cos(x[2]), points, coeff_dir,
+    )
+    cx, cy, cz = coeff_dir[..., 0], coeff_dir[..., 1], coeff_dir[..., 2]
     return jnp.stack([arx, ary, arz, cx, cy, cz], axis=-1)
 
 
 def _exact_jacobian_rows(x, pts, s, coeff_dir):
-    """Exact d(coeff . warp_to_start(x, p, s))/dx rows via jacfwd: [N, 6]."""
-    dW = jax.jacfwd(lambda xx: twist.warp_to_start(xx, pts, s))(x)  # [N, 3, 6]
-    return jnp.einsum("ni,nio->no", coeff_dir, dW)
+    """Exact d(coeff . warp_to_start(x, p, s))/dx rows, closed form: [N, 6].
+
+    warp_to_start applies TZYX(s*x), so by the chain rule the row is
+    ``s * J_tzyx(s*x, p)`` — the reference's trig rows evaluated at the
+    per-point scaled angles, times the time fraction (the translation
+    columns scale identically: d(s*t)/dt = s).  Matches jacfwd of the warp
+    to float tolerance (tests/test_odometry.py) at a third of the FLOPs.
+    """
+    a, b, c = s * x[0], s * x[1], s * x[2]
+    arx, ary, arz = _tzyx_rotation_rows(
+        jnp.sin(a), jnp.cos(a), jnp.sin(b), jnp.cos(b), jnp.sin(c),
+        jnp.cos(c), pts, coeff_dir,
+    )
+    rows = jnp.stack(
+        [arx, ary, arz, coeff_dir[..., 0], coeff_dir[..., 1],
+         coeff_dir[..., 2]], axis=-1,
+    )
+    return s[..., None] * rows
 
 
 def _find_correspondences(x, sharp: Cloud, flat: Cloud, last_corner: Cloud,

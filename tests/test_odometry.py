@@ -147,3 +147,28 @@ class TestParityMode:
         assert np.linalg.norm(err[:3]) < 0.08, f"trans err {err}"
         assert bool(st.converged)
         assert np.all(np.isfinite(np.array(x)))
+
+
+class TestExactJacobianClosedForm:
+    def test_matches_jacfwd(self):
+        """The closed-form per-point-s rows equal autodiff of the warp."""
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.uniform(-0.3, 0.3, 6).astype(np.float32))
+        pts = jnp.asarray(rng.uniform(-10, 10, (64, 3)).astype(np.float32))
+        s = jnp.asarray(rng.uniform(0.0, 1.0, 64).astype(np.float32))
+        coeff = jnp.asarray(rng.randn(64, 3).astype(np.float32))
+
+        rows = odometry._exact_jacobian_rows(x, pts, s, coeff)
+        dW = jax.jacfwd(lambda xx: twist.warp_to_start(xx, pts, s))(x)
+        ref = jnp.einsum("ni,nio->no", coeff, dW)
+        np.testing.assert_allclose(np.asarray(rows), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_s_one_equals_reference_rows(self):
+        rng = np.random.RandomState(6)
+        x = jnp.asarray(rng.uniform(-0.3, 0.3, 6).astype(np.float32))
+        pts = jnp.asarray(rng.uniform(-10, 10, (32, 3)).astype(np.float32))
+        coeff = jnp.asarray(rng.randn(32, 3).astype(np.float32))
+        a = odometry._exact_jacobian_rows(x, pts, jnp.ones(32), coeff)
+        b = odometry._reference_jacobian_rows(x, pts, coeff)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
