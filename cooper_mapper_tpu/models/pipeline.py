@@ -25,7 +25,7 @@ from ..maps import feature_map as fm
 from ..maps import local_map as lm
 from ..ops import features as feat_ops
 from ..ops.features import Sweep
-from ..utils import se3
+from ..utils import profiling, se3
 from . import laser_mapping, laser_odometry, transform_maintenance
 
 
@@ -74,6 +74,9 @@ class SlamPipeline:
         self.T_li = jnp.eye(4, dtype=jnp.float32)    # lidar -> imu extrinsic
         self._last_stamp: Optional[float] = None
         self._last_fused_pos: Optional[np.ndarray] = None
+        # per-stage wall-clock accounting (the reference's ad-hoc clock()
+        # deltas / destructor counters, SURVEY.md §5); timer.report() prints
+        self.timer = profiling.StageTimer()
 
     def process(self, sweep: Sweep, imu: Optional[imu_queue.ImuBatch] = None,
                 stamp: Optional[float] = None) -> SweepResult:
@@ -84,7 +87,8 @@ class SlamPipeline:
         pose is available via ``fused_pose()`` / ``imu_rate_poses()``.
         """
         cfg = self.cfg
-        fc = feat_ops.extract_features(sweep, cfg.registration)
+        with self.timer.stage("registration", sync=lambda: fc):
+            fc = feat_ops.extract_features(sweep, cfg.registration)
 
         if not self._initialized:
             self.odo = laser_odometry.init_step(self.odo, fc, cfg.odometry)
@@ -96,30 +100,32 @@ class SlamPipeline:
             self.odom_trajectory.append(eye)
             return SweepResult(eye, merged, None, None, 0)
 
-        self.odo, odo_out = laser_odometry.step(self.odo, fc, cfg.odometry)
+        with self.timer.stage("odometry", sync=lambda: odo_out.T_sum):
+            self.odo, odo_out = laser_odometry.step(self.odo, fc, cfg.odometry)
         L_now = odo_out.T_sum
 
         mapped_pose = None
         mapping_success = None
         if (self._sweep_idx % max(cfg.mapping_stride, 1)) == 0 or self._sweep_idx <= 2:
-            if self.mode == "mapping":
-                self.matcher, self.map_state, mo = laser_mapping.mapping_step(
-                    self.matcher, self.map_state,
-                    odo_out.corner_for_map, odo_out.surf_for_map, L_now,
-                    cfg.scan_match, cfg.matcher, cfg.feature_map,
-                )
-            elif self.mode == "local":
-                self.matcher, self.map_state, mo = laser_mapping.mapping_local_step(
-                    self.matcher, self.map_state,
-                    odo_out.corner_for_map, odo_out.surf_for_map, L_now,
-                    cfg.scan_match, cfg.matcher,
-                )
-            else:
-                self.matcher, mo = laser_mapping.localization_step(
-                    self.matcher, self.map_state,
-                    odo_out.corner_for_map, odo_out.surf_for_map, L_now,
-                    cfg.scan_match, cfg.matcher, cfg.feature_map,
-                )
+            with self.timer.stage(f"mapping[{self.mode}]", sync=lambda: mo.W):
+                if self.mode == "mapping":
+                    self.matcher, self.map_state, mo = laser_mapping.mapping_step(
+                        self.matcher, self.map_state,
+                        odo_out.corner_for_map, odo_out.surf_for_map, L_now,
+                        cfg.scan_match, cfg.matcher, cfg.feature_map,
+                    )
+                elif self.mode == "local":
+                    self.matcher, self.map_state, mo = laser_mapping.mapping_local_step(
+                        self.matcher, self.map_state,
+                        odo_out.corner_for_map, odo_out.surf_for_map, L_now,
+                        cfg.scan_match, cfg.matcher,
+                    )
+                else:
+                    self.matcher, mo = laser_mapping.localization_step(
+                        self.matcher, self.map_state,
+                        odo_out.corner_for_map, odo_out.surf_for_map, L_now,
+                        cfg.scan_match, cfg.matcher, cfg.feature_map,
+                    )
             mapped_pose = np.asarray(mo.W)
             mapping_success = bool(mo.result.success)
 

@@ -139,3 +139,20 @@ class TestImuFusion:
         poses, valid = pipe.imu_rate_poses(imu)
         assert poses.shape == (10, 4, 4)
         assert np.all(np.isfinite(poses))
+
+
+def test_stage_timer_accounts_stages():
+    from cooper_mapper_tpu.utils import profiling
+
+    t = profiling.StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b", sync=lambda: jnp.ones(3)):
+        pass
+    assert t.calls["a"] == 2 and t.calls["b"] == 1
+    rep = t.report()
+    assert "a" in rep and "ms/call" in rep
+    t.reset()
+    assert not t.calls
