@@ -7,6 +7,7 @@ from cooper_mapper_tpu.io import sim
 from cooper_mapper_tpu.ops import features
 from cooper_mapper_tpu.ops.voxel import voxel_downsample
 from cooper_mapper_tpu.utils import cloud as cloud_lib
+from cooper_mapper_tpu.utils import se3
 
 
 CFG = RegistrationConfig(n_rings=16, max_points_per_ring=512)
@@ -119,3 +120,95 @@ class TestVoxelDownsample:
         c = cloud_lib.Cloud(c.xyz, c.mask.at[1].set(False), c.ring, c.rel_time)
         out = voxel_downsample(c, leaf=0.2)
         assert int(out.count()) == 1
+
+
+class TestImuDewarp:
+    def _hist_linear_accel(self, a, t_max=0.25, m=26):
+        """IMU track: no rotation, constant world accel a (LOAM frame)."""
+        from cooper_mapper_tpu.models import scan_registration as sr
+
+        ts = np.linspace(0.0, t_max, m).astype(np.float32)
+        rpy = np.zeros((m, 3), np.float32)
+        # sensor-frame raw accel that integrates to world accel a after the
+        # remap+gravity step: acc_working = (raw_y - 0, raw_z - g, raw_x)
+        raw = np.zeros((m, 3), np.float32)
+        raw[:, 1] = a[0]
+        raw[:, 2] = a[1] + sr.GRAVITY
+        raw[:, 0] = a[2]
+        return sr.integrate_imu_history(ts, raw, rpy), ts
+
+    def test_accel_shift_removed(self):
+        """Points distorted by const acceleration come back to the
+        constant-velocity (linear) trajectory after de-warp."""
+        from cooper_mapper_tpu.models import scan_registration as sr
+        from cooper_mapper_tpu.ops.features import Sweep
+
+        a = np.array([0.8, -0.4, 1.2], np.float32)
+        hist, ts = self._hist_linear_accel(a)
+        scan_time, period = 0.1, 0.1
+        rng = np.random.RandomState(0)
+        pw = rng.uniform(-5, 5, (2, 8, 3)).astype(np.float32)
+        rel = rng.uniform(0, 1, (2, 8)).astype(np.float32)
+        # sensor at pos(t) (pure translation): p_sensor = p_world - pos(t)
+        t_p = scan_time + rel * period
+
+        def pos(t):  # integral of the IMU history started at vel 0, pos 0
+            return 0.5 * a * t[..., None] ** 2
+
+        def vel(t):
+            return a * t[..., None]
+
+        p_sensor = pw - pos(t_p)
+        sweep = Sweep(xyz=jnp.asarray(p_sensor),
+                      mask=jnp.ones((2, 8), bool),
+                      rel_time=jnp.asarray(rel))
+        out = sr.imu_dewarp(sweep, hist, scan_time, period)
+        # expected: only the linear part of the motion remains
+        expect = pw - (pos(np.full_like(rel, scan_time))
+                       + vel(np.full_like(rel, scan_time)) * (rel * period)[..., None])
+        np.testing.assert_allclose(np.asarray(out.xyz), expect, atol=2e-3)
+
+    def test_rotation_made_common_frame(self):
+        """With zero accel and a spinning sensor, de-warped points of a
+        static world point agree across capture times."""
+        from cooper_mapper_tpu.models import scan_registration as sr
+        from cooper_mapper_tpu.ops.features import Sweep
+
+        m = 40
+        ts = np.linspace(0.0, 0.25, m).astype(np.float32)
+        yaw_rate = 0.6
+        rpy = np.zeros((m, 3), np.float32)
+        rpy[:, 2] = yaw_rate * ts
+        raw = np.zeros((m, 3), np.float32)
+        raw[:, 2] = sr.GRAVITY  # stationary: gravity only
+        hist = sr.integrate_imu_history(ts, raw, rpy)
+
+        pw = np.array([3.0, 1.0, -2.0], np.float32)
+        rel = np.linspace(0, 0.9, 8).astype(np.float32)[None, :]
+        scan_time, period = 0.1, 0.1
+        t_p = (scan_time + rel * period)[0]
+        # sensor attitude R(t) = Ry(yaw(t)); p_sensor = R(t)^T p_world
+        ps = np.stack(
+            [np.asarray(se3.rot_y(jnp.float32(yaw_rate * t))).T @ pw
+             for t in t_p], 0
+        )[None]
+        sweep = Sweep(xyz=jnp.asarray(ps), mask=jnp.ones((1, 8), bool),
+                      rel_time=jnp.asarray(rel))
+        out = sr.imu_dewarp(sweep, hist, scan_time, period)
+        got = np.asarray(out.xyz[0])
+        np.testing.assert_allclose(got, np.broadcast_to(got[:1], got.shape),
+                                   atol=2e-3)
+
+    def test_empty_history_identity(self):
+        from cooper_mapper_tpu.models import scan_registration as sr
+        from cooper_mapper_tpu.ops.features import Sweep
+
+        hist = sr.integrate_imu_history(
+            np.zeros(4, np.float32), np.zeros((4, 3), np.float32),
+            np.zeros((4, 3), np.float32), mask=np.zeros(4, bool),
+        )
+        xyz = np.random.RandomState(1).randn(2, 5, 3).astype(np.float32)
+        sweep = Sweep(xyz=jnp.asarray(xyz), mask=jnp.ones((2, 5), bool),
+                      rel_time=jnp.zeros((2, 5), jnp.float32))
+        out = sr.imu_dewarp(sweep, hist, 0.0)
+        np.testing.assert_allclose(np.asarray(out.xyz), xyz)
