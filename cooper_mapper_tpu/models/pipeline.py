@@ -26,7 +26,7 @@ from ..maps import local_map as lm
 from ..ops import features as feat_ops
 from ..ops.features import Sweep
 from ..utils import profiling, se3
-from . import laser_mapping, laser_odometry, transform_maintenance
+from . import laser_mapping, laser_odometry, scan_registration, transform_maintenance
 
 
 @dataclasses.dataclass
@@ -79,15 +79,24 @@ class SlamPipeline:
         self.timer = profiling.StageTimer()
 
     def process(self, sweep: Sweep, imu: Optional[imu_queue.ImuBatch] = None,
-                stamp: Optional[float] = None) -> SweepResult:
+                stamp: Optional[float] = None,
+                imu_history=None) -> SweepResult:
         """Process one sweep; optionally fuse an IMU window ending at ``stamp``.
 
         With IMU data the UKF replays the window's predicts and is corrected
         by the mapping result (LaserLocalization::transformUpdate); the fused
         pose is available via ``fused_pose()`` / ``imu_rate_poses()``.
+
+        ``imu_history`` (a scan_registration.ImuHistory) additionally
+        de-warps the sweep by the nonlinear IMU motion before feature
+        extraction (ScanRegistration::transformToStartIMU).
         """
         cfg = self.cfg
         with self.timer.stage("registration", sync=lambda: fc):
+            if imu_history is not None and stamp is not None:
+                sweep = scan_registration.imu_dewarp(
+                    sweep, imu_history, stamp, cfg.registration.scan_period
+                )
             fc = feat_ops.extract_features(sweep, cfg.registration)
 
         if not self._initialized:
