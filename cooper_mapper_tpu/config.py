@@ -190,7 +190,11 @@ class PoseGraphConfig:
     seq_info_trans: Tuple[float, float, float] = (0.8, 0.4, 0.8)
     seq_info_rot: Tuple[float, float, float] = (1.0, 2.0, 1.0)
     loop_info: float = 2.0
-    pcg_iters: int = 64                 # CG iterations for the sharded solve
+    # inner linear solver: "dense" (Cholesky/LU on the [6N,6N] system, best
+    # for small graphs) or "cg" (matrix-free block-Jacobi PCG over per-edge
+    # 6x6 blocks — O(E+N) memory, the scalable path for city-size graphs)
+    solver: str = "dense"
+    pcg_iters: int = 64                 # CG iterations for solver="cg"
 
 
 @dataclasses.dataclass(frozen=True)

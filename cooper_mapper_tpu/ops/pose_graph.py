@@ -124,6 +124,96 @@ def _assemble(graph: PoseGraph, damping):
     return H, g, r_w, w
 
 
+def _edge_blocks(graph: PoseGraph):
+    """Per-edge 6x6 Hessian blocks + gradient — the matrix-free system.
+
+    Returns (H_ii, H_jj, H_ij [E,6,6], g [N,6], cost).  The dense [6N,6N]
+    Hessian is never formed: its action is the edge-scatter in _hvp.  This is
+    the TPU-native replacement for g2o's CSparse factorization (SURVEY.md
+    §7.3 "block-structured dense-within-block CG") — memory O(E+N), not O(N^2).
+    """
+    n = graph.poses.shape[0]
+    T_i = graph.poses[graph.edge_i]
+    T_j = graph.poses[graph.edge_j]
+    r, J_i, J_j = jax.vmap(_edge_residual_jac)(T_i, T_j, graph.edge_T)
+    w = graph.edge_mask.astype(jnp.float32)[:, None] * graph.edge_info
+    r_w = jnp.where(graph.edge_mask[:, None], r, 0.0)
+    J_i = jnp.where(graph.edge_mask[:, None, None], J_i, 0.0)
+    J_j = jnp.where(graph.edge_mask[:, None, None], J_j, 0.0)
+    JiW = J_i * w[:, :, None]
+    JjW = J_j * w[:, :, None]
+    H_ii = jnp.einsum("erp,erq->epq", JiW, J_i)
+    H_jj = jnp.einsum("erp,erq->epq", JjW, J_j)
+    H_ij = jnp.einsum("erp,erq->epq", JiW, J_j)
+    g = jnp.zeros((n, 6), jnp.float32)
+    g = g.at[graph.edge_i].add(jnp.einsum("erp,er->ep", JiW, r_w))
+    g = g.at[graph.edge_j].add(jnp.einsum("erp,er->ep", JjW, r_w))
+    cost = jnp.sum(w * r * r)
+    return H_ii, H_jj, H_ij, g, cost
+
+
+def _hvp(H_ii, H_jj, H_ij, edge_i, edge_j, damp_diag, v):
+    """Damped Hessian-vector product via edge scatter: v, out [N, 6]."""
+    vi = v[edge_i]
+    vj = v[edge_j]
+    out = jnp.zeros_like(v)
+    out = out.at[edge_i].add(
+        jnp.einsum("epq,eq->ep", H_ii, vi) + jnp.einsum("epq,eq->ep", H_ij, vj)
+    )
+    out = out.at[edge_j].add(
+        jnp.einsum("eqp,eq->ep", H_ij, vi) + jnp.einsum("epq,eq->ep", H_jj, vj)
+    )
+    return out + damp_diag * v
+
+
+def _damping_terms(graph: PoseGraph, H_ii, H_jj, lam):
+    """Gauge boost + LM damping as a diagonal [N, 6], and the block-Jacobi
+    preconditioner blocks [N, 6, 6] (node-diagonal blocks + damping)."""
+    n = graph.poses.shape[0]
+    D = jnp.zeros((n, 6, 6), jnp.float32)
+    D = D.at[graph.edge_i].add(H_ii)
+    D = D.at[graph.edge_j].add(H_jj)
+    diag_H = jnp.diagonal(D, axis1=-2, axis2=-1)  # [N, 6]
+    boost = jnp.zeros(n).at[0].set(1e6)
+    boost = jnp.where(graph.node_mask, boost, 1e6)
+    damp = boost[:, None] + lam * (diag_H + 1.0)   # matches the dense path
+    M = D + jax.vmap(jnp.diag)(damp)
+    return damp, M
+
+
+def _pcg_solve(H_ii, H_jj, H_ij, edge_i, edge_j, damp, M, g, iters: int):
+    """Block-Jacobi preconditioned CG for H dx = -g (all masked-static)."""
+    Minv = jnp.linalg.inv(M)                      # [N, 6, 6] batched
+    apply_M = lambda r: jnp.einsum("npq,nq->np", Minv, r)
+    hv = lambda p: _hvp(H_ii, H_jj, H_ij, edge_i, edge_j, damp, p)
+
+    x = jnp.zeros_like(g)
+    r = -g                                         # b = -g, x0 = 0
+    z = apply_M(r)
+    p = z
+    rz = jnp.sum(r * z)
+    eps = jnp.float32(1e-20)
+
+    def body(it, carry):
+        x, r, p, rz = carry
+        Hp = hv(p)
+        denom = jnp.sum(p * Hp)
+        alpha = rz / jnp.maximum(denom, eps)
+        # freeze once the residual is tiny (fixed-iteration masked early out)
+        live = jnp.sum(r * r) > 1e-12
+        alpha = jnp.where(live & (denom > 0), alpha, 0.0)
+        x = x + alpha * p
+        r_new = r - alpha * Hp
+        z_new = apply_M(r_new)
+        rz_new = jnp.sum(r_new * z_new)
+        beta = jnp.where(live, rz_new / jnp.maximum(rz, eps), 0.0)
+        p = z_new + beta * p
+        return x, r_new, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    return x
+
+
 def _cost(graph: PoseGraph):
     T_i = graph.poses[graph.edge_i]
     T_j = graph.poses[graph.edge_j]
@@ -147,11 +237,24 @@ def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()):
     Returns (graph', diagnostics dict).
     """
 
+    n = graph.poses.shape[0]
+
+    def solve_dense(graph, lam):
+        H, g, _, _ = _assemble(graph, lam)
+        return -jnp.linalg.solve(H, g[:, None])[:, 0]
+
+    def solve_cg(graph, lam):
+        H_ii, H_jj, H_ij, g, _ = _edge_blocks(graph)
+        damp, M = _damping_terms(graph, H_ii, H_jj, lam)
+        dx = _pcg_solve(H_ii, H_jj, H_ij, graph.edge_i, graph.edge_j,
+                        damp, M, g, cfg.pcg_iters)
+        return dx.reshape(6 * n)
+
+    inner_solve = solve_cg if cfg.solver == "cg" else solve_dense
+
     def body(it, carry):
         graph, lam, cost = carry
-        H, g, _, _ = _assemble(graph, lam)
-        dx = -jnp.linalg.solve(H, g[:, None])[:, 0]
-        dx = gn_nan_guard(dx)
+        dx = gn_nan_guard(inner_solve(graph, lam))
         cand = _apply_update(graph, dx)
         new_cost = _cost(cand)
         accept = new_cost < cost

@@ -88,10 +88,20 @@ def _local_blocks(poses, edge_i, edge_j, edge_T, edge_info, edge_mask):
 
 @partial(jax.jit, static_argnames=("cfg", "mesh"))
 def sharded_pose_graph_optimize(graph: pg.PoseGraph, cfg: PoseGraphConfig, mesh):
-    """LM with edge-sharded assembly: each device builds the blocks for its
-    edge slice; H, g, and the cost psum across the mesh; the (small) solve is
-    replicated.  Edge capacity must be divisible by the mesh size.
+    """LM with edge-sharded assembly.  Edge capacity must be divisible by the
+    mesh size.
+
+    ``cfg.solver == "dense"``: each device builds dense blocks for its edge
+    slice; H, g, and the cost psum across the mesh; the solve is replicated.
+
+    ``cfg.solver == "cg"``: matrix-free — per-edge 6x6 blocks stay resident
+    on their shard and only [N,6] vectors cross the ICI: the gradient, the
+    node-diagonal preconditioner blocks, and one psum per CG iteration for
+    the Hessian-vector product.  This is the scalable path: communication
+    O(N) per step instead of the O(N^2) dense-Hessian reduction.
     """
+    if cfg.solver == "cg":
+        return _sharded_optimize_cg(graph, cfg, mesh)
     axis = mesh.axis_names[0]
     n = graph.poses.shape[0]
 
@@ -146,4 +156,120 @@ def sharded_pose_graph_optimize(graph: pg.PoseGraph, cfg: PoseGraphConfig, mesh)
     graph, lam, cost = jax.lax.fori_loop(
         0, cfg.max_iterations, body, (graph, jnp.float32(cfg.lm_init_lambda), cost0)
     )
+    return graph, {"initial_cost": cost0, "final_cost": cost, "lambda": lam}
+
+
+def _sharded_optimize_cg(graph: pg.PoseGraph, cfg: PoseGraphConfig, mesh):
+    """Edge-sharded LM with matrix-free block-Jacobi PCG (see caller doc)."""
+    axis = mesh.axis_names[0]
+    n = graph.poses.shape[0]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P()),
+    )
+    def run(poses, node_mask, ei, ej, eT, einfo, emask):
+        def local_blocks(poses):
+            """Per-edge blocks + psum'd gradient/cost for the local slice."""
+            T_i = poses[ei]
+            T_j = poses[ej]
+            r, J_i, J_j = jax.vmap(pg._edge_residual_jac)(T_i, T_j, eT)
+            w = emask.astype(jnp.float32)[:, None] * einfo
+            r_w = jnp.where(emask[:, None], r, 0.0)
+            J_i = jnp.where(emask[:, None, None], J_i, 0.0)
+            J_j = jnp.where(emask[:, None, None], J_j, 0.0)
+            JiW = J_i * w[:, :, None]
+            JjW = J_j * w[:, :, None]
+            H_ii = jnp.einsum("erp,erq->epq", JiW, J_i)
+            H_jj = jnp.einsum("erp,erq->epq", JjW, J_j)
+            H_ij = jnp.einsum("erp,erq->epq", JiW, J_j)
+            g = jnp.zeros((n, 6), jnp.float32)
+            g = g.at[ei].add(jnp.einsum("erp,er->ep", JiW, r_w))
+            g = g.at[ej].add(jnp.einsum("erp,er->ep", JjW, r_w))
+            cost = jnp.sum(w * r * r)
+            return H_ii, H_jj, H_ij, jax.lax.psum(g, axis), jax.lax.psum(cost, axis)
+
+        def cost_at(poses):
+            T_i = poses[ei]
+            T_j = poses[ej]
+            r = jax.vmap(pg.edge_residual)(T_i, T_j, eT)
+            w = emask.astype(jnp.float32)[:, None] * einfo
+            return jax.lax.psum(jnp.sum(w * r * r), axis)
+
+        def hv(H_ii, H_jj, H_ij, damp, p):
+            out = jnp.zeros_like(p)
+            pi, pj = p[ei], p[ej]
+            out = out.at[ei].add(
+                jnp.einsum("epq,eq->ep", H_ii, pi)
+                + jnp.einsum("epq,eq->ep", H_ij, pj)
+            )
+            out = out.at[ej].add(
+                jnp.einsum("eqp,eq->ep", H_ij, pi)
+                + jnp.einsum("epq,eq->ep", H_jj, pj)
+            )
+            return jax.lax.psum(out, axis) + damp * p
+
+        def lm_body(it, carry):
+            poses, lam, cost = carry
+            H_ii, H_jj, H_ij, g, _ = local_blocks(poses)
+            # preconditioner: psum'd node-diagonal blocks + damping
+            D = jnp.zeros((n, 6, 6), jnp.float32)
+            D = D.at[ei].add(H_ii)
+            D = D.at[ej].add(H_jj)
+            D = jax.lax.psum(D, axis)
+            diag_H = jnp.diagonal(D, axis1=-2, axis2=-1)
+            boost = jnp.zeros(n).at[0].set(1e6)
+            boost = jnp.where(node_mask, boost, 1e6)
+            damp = boost[:, None] + lam * (diag_H + 1.0)
+            Minv = jnp.linalg.inv(D + jax.vmap(jnp.diag)(damp))
+            apply_M = lambda r: jnp.einsum("npq,nq->np", Minv, r)
+
+            x = jnp.zeros_like(g)
+            r = -g
+            z = apply_M(r)
+            p = z
+            rz = jnp.sum(r * z)
+            eps = jnp.float32(1e-20)
+
+            def cg_body(i, c):
+                x, r, p, rz = c
+                Hp = hv(H_ii, H_jj, H_ij, damp, p)
+                denom = jnp.sum(p * Hp)
+                live = jnp.sum(r * r) > 1e-12
+                alpha = jnp.where(live & (denom > 0), rz / jnp.maximum(denom, eps), 0.0)
+                x = x + alpha * p
+                r_new = r - alpha * Hp
+                z_new = apply_M(r_new)
+                rz_new = jnp.sum(r_new * z_new)
+                beta = jnp.where(live, rz_new / jnp.maximum(rz, eps), 0.0)
+                return x, r_new, z_new + beta * p, rz_new
+
+            dx, _, _, _ = jax.lax.fori_loop(0, cfg.pcg_iters, cg_body, (x, r, p, rz))
+            dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+
+            d = jnp.where(node_mask[:, None], dx, 0.0).at[0].set(0.0)
+            cand = poses @ se3.se3_exp(d)
+            new_cost = cost_at(cand)
+            accept = new_cost < cost
+            poses = jnp.where(accept, cand, poses)
+            lam = jnp.clip(
+                jnp.where(accept, lam / cfg.lm_lambda_factor, lam * cfg.lm_lambda_factor),
+                1e-9, 1e6,
+            )
+            return poses, lam, jnp.where(accept, new_cost, cost)
+
+        cost0 = cost_at(poses)
+        poses, lam, cost = jax.lax.fori_loop(
+            0, cfg.max_iterations, lm_body,
+            (poses, jnp.float32(cfg.lm_init_lambda), cost0),
+        )
+        return poses, cost0, cost, lam
+
+    poses, cost0, cost, lam = run(
+        graph.poses, graph.node_mask, graph.edge_i, graph.edge_j,
+        graph.edge_T, graph.edge_info, graph.edge_mask,
+    )
+    graph = dataclasses.replace(graph, poses=poses)
     return graph, {"initial_cost": cost0, "final_cost": cost, "lambda": lam}

@@ -54,3 +54,25 @@ class TestShardedPoseGraph:
         np.testing.assert_allclose(
             out_shard.poses[:12], out_dense.poses[:12], atol=5e-3
         )
+
+
+class TestShardedPoseGraphCg:
+    def test_cg_matches_dense_sharded(self, mesh8):
+        import dataclasses
+
+        cfg = PoseGraphConfig(max_nodes=64, max_edges=128, max_iterations=15)
+        graph, gt, est = tpg._noisy_circle_graph(seed=5)
+        out_dense, diag_dense = pbatch.sharded_pose_graph_optimize(
+            graph, cfg, mesh8
+        )
+        cfg_cg = dataclasses.replace(cfg, solver="cg", pcg_iters=128)
+        out_cg, diag_cg = pbatch.sharded_pose_graph_optimize(
+            graph, cfg_cg, mesh8
+        )
+        np.testing.assert_allclose(
+            diag_cg["initial_cost"], diag_dense["initial_cost"], rtol=1e-4
+        )
+        assert float(diag_cg["final_cost"]) < 0.2 * float(diag_cg["initial_cost"])
+        np.testing.assert_allclose(
+            out_cg.poses[:12, :3, 3], out_dense.poses[:12, :3, 3], atol=1e-2
+        )

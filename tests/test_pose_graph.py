@@ -1,3 +1,4 @@
+import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -187,3 +188,73 @@ class TestGraphSave:
         assert os.path.exists(tmp_path / "map" / "index.txt")
         poses2, edges2 = map_io.load_g2o(str(tmp_path / "after.g2o"))
         assert len(poses2) == len(slam.keyframes)
+
+
+class TestPcgSolver:
+    def test_cg_matches_dense_solution(self):
+        """One LM step: the PCG update equals the dense solve."""
+        graph, gt, est = _noisy_circle_graph(n=14, seed=2)
+        lam = jnp.float32(1e-3)
+        H, g, _, _ = pg._assemble(graph, lam)
+        dx_dense = -jnp.linalg.solve(H, g.reshape(-1, 1))[:, 0]
+        H_ii, H_jj, H_ij, g2, _ = pg._edge_blocks(graph)
+        np.testing.assert_allclose(np.asarray(g2.reshape(-1)), np.asarray(g),
+                                   atol=1e-5)
+        damp, M = pg._damping_terms(graph, H_ii, H_jj, lam)
+        dx_cg = pg._pcg_solve(H_ii, H_jj, H_ij, graph.edge_i, graph.edge_j,
+                              damp, M, g2, iters=400)
+        np.testing.assert_allclose(np.asarray(dx_cg.reshape(-1)),
+                                   np.asarray(dx_dense), atol=5e-4)
+
+    def test_cg_optimize_closes_loop(self):
+        graph, gt, est = _noisy_circle_graph(n=16, seed=3)
+        cfg = dataclasses.replace(PG_CFG, solver="cg", pcg_iters=128)
+        out, diag = pg.optimize(graph, cfg)
+        assert float(diag["final_cost"]) < 0.05 * float(diag["initial_cost"])
+        err = np.linalg.norm(
+            np.asarray(out.poses[15][:3, 3]) - np.asarray(gt[15][:3, 3])
+        )
+        drift0 = np.linalg.norm(np.asarray(est[15][:3, 3]) - np.asarray(gt[15][:3, 3]))
+        assert err < 0.5 * drift0
+
+    def test_cg_scales_to_large_graph(self):
+        """A 1500-node chain with loop closures — the dense [6N,6N] system
+        would be 81M entries; the matrix-free path stays O(E)."""
+        n = 1500
+        rng = np.random.RandomState(4)
+        graph = pg.create(n, 2 * n)
+        gt = [np.eye(4, dtype=np.float32)]
+        step = np.eye(4, dtype=np.float32)
+        step[0, 3] = 1.0
+        th = 2 * np.pi / n
+        rot = np.array(
+            [[np.cos(th), 0, np.sin(th), 0], [0, 1, 0, 0],
+             [-np.sin(th), 0, np.cos(th), 0], [0, 0, 0, 1]], np.float32)
+        for k in range(1, n):
+            gt.append(gt[-1] @ step @ rot)
+        est = [gt[0]]
+        slot = 0
+        for k in range(1, n):
+            rel = np.linalg.inv(gt[k - 1]) @ gt[k]
+            noise = np.eye(4, dtype=np.float32)
+            noise[:3, 3] = 0.02 * rng.randn(3)
+            rel_noisy = (rel @ noise).astype(np.float32)
+            est.append((est[-1] @ rel_noisy).astype(np.float32))
+            graph = pg.add_edge(graph, slot, k - 1, k, jnp.asarray(rel_noisy),
+                                jnp.ones(6))
+            slot += 1
+        for k in range(n):
+            graph = pg.add_node(graph, k, jnp.asarray(est[k]))
+        # loop closures every 100 nodes back to the exact relative pose
+        for k in range(100, n, 100):
+            rel = (np.linalg.inv(gt[k - 100]) @ gt[k]).astype(np.float32)
+            graph = pg.add_edge(graph, slot, k - 100, k, jnp.asarray(rel),
+                                2.0 * jnp.ones(6))
+            slot += 1
+        cfg = dataclasses.replace(
+            PG_CFG, max_nodes=n, max_edges=2 * n, solver="cg",
+            pcg_iters=96, max_iterations=15,
+        )
+        out, diag = pg.optimize(graph, cfg)
+        assert np.isfinite(float(diag["final_cost"]))
+        assert float(diag["final_cost"]) < 0.2 * float(diag["initial_cost"])
