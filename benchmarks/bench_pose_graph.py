@@ -1,0 +1,99 @@
+"""Pose-graph LM throughput: iterations/s on device (BASELINE metric #2).
+
+The reference's backend is g2o lm_var with CSparse, budgeted at <=1000 LM
+iterations per optimize() with wall time printed per run
+(solver_g2o.cpp:79-95).  This bench builds a drifted loop-closure graph at a
+configurable node count and measures full LM iterations/s for both inner
+solvers (dense Cholesky vs matrix-free block-Jacobi PCG).
+
+Usage: python benchmarks/bench_pose_graph.py [n_nodes] [solver]
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import cooper_mapper_tpu  # noqa: F401
+from cooper_mapper_tpu.config import PoseGraphConfig
+from cooper_mapper_tpu.ops import pose_graph as pg
+
+
+def build_graph(n, seed=0, loop_every=100):
+    rng = np.random.RandomState(seed)
+    graph = pg.create(n, 2 * n)
+    gt = [np.eye(4, dtype=np.float32)]
+    step = np.eye(4, dtype=np.float32)
+    step[0, 3] = 1.0
+    th = 2 * np.pi / n
+    rot = np.array(
+        [[np.cos(th), 0, np.sin(th), 0], [0, 1, 0, 0],
+         [-np.sin(th), 0, np.cos(th), 0], [0, 0, 0, 1]], np.float32)
+    for k in range(1, n):
+        gt.append(gt[-1] @ step @ rot)
+    est = [gt[0]]
+    slot = 0
+    for k in range(1, n):
+        rel = np.linalg.inv(gt[k - 1]) @ gt[k]
+        noise = np.eye(4, dtype=np.float32)
+        noise[:3, 3] = 0.02 * rng.randn(3)
+        rel_noisy = (rel @ noise).astype(np.float32)
+        est.append((est[-1] @ rel_noisy).astype(np.float32))
+        graph = pg.add_edge(graph, slot, k - 1, k, jnp.asarray(rel_noisy),
+                            jnp.ones(6))
+        slot += 1
+    for k in range(n):
+        graph = pg.add_node(graph, k, jnp.asarray(est[k]))
+    for k in range(loop_every, n, loop_every):
+        rel = (np.linalg.inv(gt[k - loop_every]) @ gt[k]).astype(np.float32)
+        graph = pg.add_edge(graph, slot, k - loop_every, k, jnp.asarray(rel),
+                            2.0 * jnp.ones(6))
+        slot += 1
+    return graph
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    solver = sys.argv[2] if len(sys.argv) > 2 else "cg"
+    iters = 20
+    cfg = PoseGraphConfig(max_nodes=n, max_edges=2 * n, max_iterations=iters,
+                          solver=solver, pcg_iters=64)
+    graph = build_graph(n)
+
+    out, diag = pg.optimize(graph, cfg)  # compile + warmup
+    jax.block_until_ready(out.poses)
+
+    reps = 3
+    # vary the start point per rep (execution-cache guard) by jittering poses
+    rng = np.random.RandomState(1)
+    graphs = [
+        dataclasses.replace(
+            graph,
+            poses=graph.poses.at[:, 0, 3].add(
+                jnp.asarray(1e-4 * rng.randn(n), jnp.float32)
+            ),
+        )
+        for _ in range(reps)
+    ]
+    t0 = time.perf_counter()
+    outs = [pg.optimize(g, cfg) for g in graphs]
+    jax.device_get([o[0].poses for o in outs])
+    dt = (time.perf_counter() - t0) / reps
+
+    print({
+        "nodes": n, "edges": int(np.asarray(jnp.sum(graph.edge_mask))),
+        "solver": solver,
+        "lm_iters_per_s": round(iters / dt, 2),
+        "cost": f"{float(diag['initial_cost']):.4f} -> {float(diag['final_cost']):.4f}",
+        "wall_per_optimize_ms": round(dt * 1e3, 1),
+    })
+
+
+if __name__ == "__main__":
+    main()
