@@ -69,6 +69,10 @@ class OdometryConfig:
     trust_region_t: float = 0.3
     trust_region_r: float = 0.05
     min_converge_iter: int = 6
+    # stream the NN distance tile in query chunks of this size (0 = one
+    # [Q, M] tile).  Caps peak memory of the batched solve at
+    # [B, chunk, M] — set for very large B (memory, not speed)
+    nn_query_chunk: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -89,14 +89,36 @@ def _select_ring(minv, idxv, ring_sel):
 # compile cost, COOPER_USE_PALLAS=1).
 
 
+def _chunked_queries(fn, q_xyz, chunk: int):
+    """Run a per-query-row search in [chunk, M]-tile pieces via lax.map.
+
+    Caps the distance-tile footprint at [chunk, M] per problem instead of
+    [Q, M] — the enabler for very large solve batches (the [B, Q, M] tile is
+    the peak-memory term of the batched odometry solve).  ``fn`` maps a
+    [chunk, 3] query tile to a tuple of [chunk, ...] outputs.
+    """
+    Q = q_xyz.shape[0]
+    pad = (-Q) % chunk
+    qp = jnp.pad(q_xyz, ((0, pad), (0, 0)), constant_values=1e6)
+    outs = jax.lax.map(fn, qp.reshape(-1, chunk, 3))
+    return tuple(o.reshape(-1, *o.shape[2:])[:Q] for o in outs)
+
+
 def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
-                 n_rings: int = 16):
+                 n_rings: int = 16, query_chunk: int = 0):
     """Odometry corner correspondences (LaserOdometry.cpp:358-408).
 
     A = nearest reference corner; B = nearest corner on a *different* ring
     within ``ring_span`` rings of A's ring.  Returns (ia, ib, valid [Q]).
+    ``query_chunk > 0`` streams the distance tile in query chunks.
     """
     import os
+
+    if query_chunk and q_xyz.shape[0] > query_chunk:
+        return _chunked_queries(
+            lambda qc: corner_pairs(qc, ref, max_sq_dist, ring_span, n_rings),
+            q_xyz, query_chunk,
+        )
 
     if os.environ.get("COOPER_USE_PALLAS") == "1" and jax.default_backend() == "tpu":
         min1, idx1, _, _ = _ring_minima(q_xyz, ref, n_rings)
@@ -127,14 +149,21 @@ def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
 
 
 def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
-                 n_rings: int = 16):
+                 n_rings: int = 16, query_chunk: int = 0):
     """Odometry surface correspondences (LaserOdometry.cpp:421-497).
 
     A = nearest surf point; B = nearest other surf on A's ring;
     C = nearest surf on a different ring within ``ring_span``.
-    Returns (ia, ib, ic, valid [Q]).
+    Returns (ia, ib, ic, valid [Q]).  ``query_chunk > 0`` streams the
+    distance tile in query chunks (see _chunked_queries).
     """
     import os
+
+    if query_chunk and q_xyz.shape[0] > query_chunk:
+        return _chunked_queries(
+            lambda qc: surf_triples(qc, ref, max_sq_dist, ring_span, n_rings),
+            q_xyz, query_chunk,
+        )
 
     if os.environ.get("COOPER_USE_PALLAS") == "1" and jax.default_backend() == "tpu":
         min1, idx1, min2, idx2 = _ring_minima(q_xyz, ref, n_rings)

@@ -118,10 +118,12 @@ def _find_correspondences(x, sharp: Cloud, flat: Cloud, last_corner: Cloud,
     pc = twist.warp_to_start(x, sharp.xyz, sharp.rel_time)
     ps = twist.warp_to_start(x, flat.xyz, flat.rel_time)
     ia_c, ib_c, ok_c = neighbors.corner_pairs(
-        pc, last_corner, cfg.nn_sq_dist_max, cfg.ring_span, cfg.n_rings
+        pc, last_corner, cfg.nn_sq_dist_max, cfg.ring_span, cfg.n_rings,
+        cfg.nn_query_chunk,
     )
     ia_s, ib_s, ic_s, ok_s = neighbors.surf_triples(
-        ps, last_surf, cfg.nn_sq_dist_max, cfg.ring_span, cfg.n_rings
+        ps, last_surf, cfg.nn_sq_dist_max, cfg.ring_span, cfg.n_rings,
+        cfg.nn_query_chunk,
     )
     return Correspondences(
         A_c=last_corner.xyz[ia_c],

@@ -172,3 +172,40 @@ class TestExactJacobianClosedForm:
         a = odometry._exact_jacobian_rows(x, pts, jnp.ones(32), coeff)
         b = odometry._reference_jacobian_rows(x, pts, coeff)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_query_chunked_nn_matches_dense():
+    """Chunked-query correspondence search equals the single-tile search,
+    and the solve result is identical."""
+    from cooper_mapper_tpu.ops import neighbors
+
+    m1 = _pose(x=0.2, y=0.0, z=0.3)
+    fp, fc, _ = _sweep_pair(jnp.asarray(m1))
+    q = jnp.asarray(np.asarray(fc.sharp.xyz))
+    ia0, ib0, ok0 = neighbors.corner_pairs(q, fp.less_sharp, 25.0)
+    ia1, ib1, ok1 = neighbors.corner_pairs(q, fp.less_sharp, 25.0,
+                                           query_chunk=48)
+    np.testing.assert_array_equal(np.asarray(ia0), np.asarray(ia1))
+    np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+
+    qs = jnp.asarray(np.asarray(fc.flat.xyz))
+    t0 = neighbors.surf_triples(qs, fp.less_flat, 25.0)
+    t1 = neighbors.surf_triples(qs, fp.less_flat, 25.0, query_chunk=100)
+    ok = np.asarray(t0[3]) & np.asarray(t1[3])
+    assert ok.mean() > 0.5
+    # different matmul tilings can flip argmin between near-equidistant
+    # neighbors: compare the chosen neighbor DISTANCES, not indices
+    ref_xyz = np.asarray(fp.less_flat.xyz)
+    qn = np.asarray(qs)
+    for a, b in zip(t0[:3], t1[:3]):
+        da = np.linalg.norm(ref_xyz[np.asarray(a)[ok]] - qn[ok], axis=-1)
+        db = np.linalg.norm(ref_xyz[np.asarray(b)[ok]] - qn[ok], axis=-1)
+        np.testing.assert_allclose(da, db, rtol=1e-3, atol=1e-3)
+
+    cfg = CFG_ODO
+    cfg_chunked = dataclasses.replace(cfg, nn_query_chunk=64)
+    x_a, _ = odometry.odometry_solve(fc.sharp, fc.flat, fp.less_sharp,
+                                     fp.less_flat, jnp.zeros(6), cfg)
+    x_b, _ = odometry.odometry_solve(fc.sharp, fc.flat, fp.less_sharp,
+                                     fp.less_flat, jnp.zeros(6), cfg_chunked)
+    np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_b), atol=2e-3)
