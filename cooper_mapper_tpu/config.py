@@ -73,6 +73,14 @@ class OdometryConfig:
     # [Q, M] tile).  Caps peak memory of the batched solve at
     # [B, chunk, M] — set for very large B (memory, not speed)
     nn_query_chunk: int = 0
+    # MXU precision of the NN cross-term matmul only (None = package default,
+    # 'highest').  'high' = 3-pass bf16: ~5% faster solves, but near-tie NN
+    # races can flip, perturbing poses at the convergence-tolerance scale
+    # (~1e-3) — leave at None when bit-stable trajectories matter
+    nn_precision: str | None = None
+    # unroll the inner GN iterations instead of lax.fori_loop — identical
+    # results, larger program, better XLA fusion across refresh boundaries
+    unroll_iters: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -24,24 +24,34 @@ BIG = 1.0e12
 
 
 def pairwise_sq_dist(q, r, precision=None):
-    """[Q,3] x [M,3] -> [Q,M] squared distances (MXU-friendly)."""
+    """[Q,3] x [M,3] -> [Q,M] squared distances (MXU-friendly).
+
+    ``precision`` overrides the package-wide ``highest`` matmul precision for
+    the cross term only.  The distances feed argmin races gated at meters —
+    'high' (3-pass bf16, ~f32 accuracy) is indistinguishable in selection and
+    roughly halves MXU time; 'default' (1-pass bf16) can flip near-ties.
+    """
     qn = jnp.sum(q * q, axis=-1)
     rn = jnp.sum(r * r, axis=-1)
-    cross = q @ r.T
+    cross = jnp.matmul(q, r.T, precision=precision)
     return qn[:, None] - 2.0 * cross + rn[None, :]
 
 
-def nn1(q_xyz, r_xyz, r_mask):
-    """1-NN: returns (idx [Q], sq_dist [Q])."""
-    d = pairwise_sq_dist(q_xyz, r_xyz)
+def nn1(q_xyz, r_xyz, r_mask, precision=None):
+    """1-NN: returns (idx [Q], sq_dist [Q]).
+
+    The winning distance is jnp.min, not a take_along_axis gather: min and
+    argmin are sibling reductions XLA fuses into one pass over the tile,
+    while a gather consumer would force the whole [Q, M] tile into HBM.
+    """
+    d = pairwise_sq_dist(q_xyz, r_xyz, precision)
     d = jnp.where(r_mask[None, :], d, BIG)
-    idx = jnp.argmin(d, axis=-1)
-    return idx, jnp.take_along_axis(d, idx[:, None], axis=-1)[:, 0]
+    return jnp.argmin(d, axis=-1), jnp.min(d, axis=-1)
 
 
-def knn(q_xyz, r_xyz, r_mask, k: int):
+def knn(q_xyz, r_xyz, r_mask, k: int, precision=None):
     """k-NN: returns (idx [Q,k], sq_dist [Q,k]) sorted ascending."""
-    d = pairwise_sq_dist(q_xyz, r_xyz)
+    d = pairwise_sq_dist(q_xyz, r_xyz, precision)
     d = jnp.where(r_mask[None, :], d, BIG)
     neg, idx = jax.lax.top_k(-d, k)
     return idx, -neg
@@ -81,12 +91,25 @@ def _select_ring(minv, idxv, ring_sel):
 
 
 # Implementation note: two interchangeable formulations exist for the
-# ring-structured searches.  The dense masked-argmin form below materializes
-# one [Q, M] distance tile and runs a few masked argmins over it — measured
-# fastest under XLA on TPU (the segment-min/ring-minima form in
-# ops/pallas/nn_ring.py lowers to scatter reductions that run ~2x slower;
-# its Pallas kernel avoids the HBM tile entirely but is gated on Mosaic
-# compile cost, COOPER_USE_PALLAS=1).
+# ring-structured searches.  The dense masked-argmin form below is fastest
+# under XLA on TPU (the segment-min/ring-minima form in ops/pallas/nn_ring.py
+# lowers to scatter reductions that run ~2x slower; its Pallas kernel avoids
+# the HBM tile entirely but is gated on Mosaic compile cost,
+# COOPER_USE_PALLAS=1).
+#
+# Each argmin race recomputes its own distance tile behind an
+# optimization_barrier: the matmul is nearly free next to the [Q, M] HBM
+# traffic, so rematerializing and letting each reduction fuse with its own
+# producer beats writing the tile once and re-reading it per race (3-race
+# surf search: 126 ms -> 72 ms at [512, 768, 4096] on TPU, bit-identical
+# results — benchmarks/exp_races.py).
+
+
+def _race_dist(q_xyz, ref, precision):
+    """A fresh masked [Q, M] distance tile that XLA will not CSE away."""
+    qb = jax.lax.optimization_barrier(q_xyz)
+    d = pairwise_sq_dist(qb, ref.xyz, precision)
+    return jnp.where(ref.mask[None, :], d, BIG)
 
 
 def _chunked_queries(fn, q_xyz, chunk: int):
@@ -105,7 +128,7 @@ def _chunked_queries(fn, q_xyz, chunk: int):
 
 
 def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
-                 n_rings: int = 16, query_chunk: int = 0):
+                 n_rings: int = 16, query_chunk: int = 0, precision=None):
     """Odometry corner correspondences (LaserOdometry.cpp:358-408).
 
     A = nearest reference corner; B = nearest corner on a *different* ring
@@ -116,7 +139,8 @@ def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
 
     if query_chunk and q_xyz.shape[0] > query_chunk:
         return _chunked_queries(
-            lambda qc: corner_pairs(qc, ref, max_sq_dist, ring_span, n_rings),
+            lambda qc: corner_pairs(qc, ref, max_sq_dist, ring_span, n_rings,
+                                    precision=precision),
             q_xyz, query_chunk,
         )
 
@@ -132,24 +156,23 @@ def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
         valid = (da < max_sq_dist) & (db < max_sq_dist)
         return ia, ib, valid
 
-    d = pairwise_sq_dist(q_xyz, ref.xyz)
-    d = jnp.where(ref.mask[None, :], d, BIG)
+    d = _race_dist(q_xyz, ref, precision)
     ia = jnp.argmin(d, axis=-1)
-    da = jnp.take_along_axis(d, ia[:, None], -1)[:, 0]
+    da = jnp.min(d, axis=-1)            # sibling of argmin: one fused pass
     ring_a = ref.ring[ia]
     ring_diff = jnp.abs(
         ref.ring[None, :].astype(jnp.float32) - ring_a[:, None].astype(jnp.float32)
     )
     adj = (ring_diff > 0.0) & (ring_diff <= ring_span)
-    d2 = jnp.where(adj, d, BIG)
+    d2 = jnp.where(adj, _race_dist(q_xyz, ref, precision), BIG)
     ib = jnp.argmin(d2, axis=-1)
-    db = jnp.take_along_axis(d2, ib[:, None], -1)[:, 0]
+    db = jnp.min(d2, axis=-1)
     valid = (da < max_sq_dist) & (db < max_sq_dist)
     return ia, ib, valid
 
 
 def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
-                 n_rings: int = 16, query_chunk: int = 0):
+                 n_rings: int = 16, query_chunk: int = 0, precision=None):
     """Odometry surface correspondences (LaserOdometry.cpp:421-497).
 
     A = nearest surf point; B = nearest other surf on A's ring;
@@ -161,7 +184,8 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
 
     if query_chunk and q_xyz.shape[0] > query_chunk:
         return _chunked_queries(
-            lambda qc: surf_triples(qc, ref, max_sq_dist, ring_span, n_rings),
+            lambda qc: surf_triples(qc, ref, max_sq_dist, ring_span, n_rings,
+                                    precision=precision),
             q_xyz, query_chunk,
         )
 
@@ -178,25 +202,24 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
         valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
         return ia, ib, ic, valid
 
-    d = pairwise_sq_dist(q_xyz, ref.xyz)
-    d = jnp.where(ref.mask[None, :], d, BIG)
+    d = _race_dist(q_xyz, ref, precision)
     ia = jnp.argmin(d, axis=-1)
-    da = jnp.take_along_axis(d, ia[:, None], -1)[:, 0]
+    da = jnp.min(d, axis=-1)            # sibling of argmin: one fused pass
     ring_a = ref.ring[ia]
 
     same_ring = ref.ring[None, :] == ring_a[:, None]
     not_a = jnp.arange(ref.capacity)[None, :] != ia[:, None]
-    d_b = jnp.where(same_ring & not_a, d, BIG)
+    d_b = jnp.where(same_ring & not_a, _race_dist(q_xyz, ref, precision), BIG)
     ib = jnp.argmin(d_b, axis=-1)
-    db = jnp.take_along_axis(d_b, ib[:, None], -1)[:, 0]
+    db = jnp.min(d_b, axis=-1)
 
     ring_diff = jnp.abs(
         ref.ring[None, :].astype(jnp.float32) - ring_a[:, None].astype(jnp.float32)
     )
     adj = (ring_diff > 0.0) & (ring_diff <= ring_span)
-    d_c = jnp.where(adj, d, BIG)
+    d_c = jnp.where(adj, _race_dist(q_xyz, ref, precision), BIG)
     ic = jnp.argmin(d_c, axis=-1)
-    dc = jnp.take_along_axis(d_c, ic[:, None], -1)[:, 0]
+    dc = jnp.min(d_c, axis=-1)
 
     valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
     return ia, ib, ic, valid

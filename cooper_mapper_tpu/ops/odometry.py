@@ -119,11 +119,11 @@ def _find_correspondences(x, sharp: Cloud, flat: Cloud, last_corner: Cloud,
     ps = twist.warp_to_start(x, flat.xyz, flat.rel_time)
     ia_c, ib_c, ok_c = neighbors.corner_pairs(
         pc, last_corner, cfg.nn_sq_dist_max, cfg.ring_span, cfg.n_rings,
-        cfg.nn_query_chunk,
+        cfg.nn_query_chunk, precision=cfg.nn_precision,
     )
     ia_s, ib_s, ic_s, ok_s = neighbors.surf_triples(
         ps, last_surf, cfg.nn_sq_dist_max, cfg.ring_span, cfg.n_rings,
-        cfg.nn_query_chunk,
+        cfg.nn_query_chunk, precision=cfg.nn_precision,
     )
     return Correspondences(
         A_c=last_corner.xyz[ia_c],
@@ -222,7 +222,14 @@ def odometry_solve(
             # projector) runs once here instead of inside the device loop
             st = step(st, corr, jnp.int32(0), compute_projector=True)
             start = 1
-        st, _ = jax.lax.fori_loop(start, stop, body, (st, corr))
+        if cfg.unroll_iters:
+            # fully unrolled: lax loop boundaries around each refresh block
+            # defeat XLA's fusion of the correspondence search with its
+            # consumers (measured ~100 ms/block at batch 512 on TPU)
+            for it in range(start, stop):
+                st = step(st, corr, jnp.int32(it))
+        else:
+            st, _ = jax.lax.fori_loop(start, stop, body, (st, corr))
     return st.x, st
 
 

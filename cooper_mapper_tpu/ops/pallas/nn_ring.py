@@ -124,6 +124,13 @@ def _ring_minima_kernel(q_ref, r_ref, ring_ref, o_min1, o_idx1, o_min2, o_idx2,
     o_idx2[:, :] = idx2
 
 
+def _pick_tile(n: int, candidates=(512, 256, 128)) -> int:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return 0
+
+
 @functools.partial(jax.jit, static_argnames=("n_rings", "tile_q", "tile_m"))
 def ring_minima_pallas(q_xyz, ref_xyz, ref_ring, ref_mask, n_rings: int,
                        tile_q: int = 128, tile_m: int = 512):
@@ -172,5 +179,11 @@ def ring_minima(q_xyz, ref_xyz, ref_ring, ref_mask, n_rings: int):
     import os
 
     if jax.default_backend() == "tpu" and os.environ.get("COOPER_USE_PALLAS") == "1":
-        return ring_minima_pallas(q_xyz, ref_xyz, ref_ring, ref_mask, n_rings)
+        tq = _pick_tile(q_xyz.shape[0], (128,))
+        tm = _pick_tile(ref_xyz.shape[0])
+        if tq and tm:
+            return ring_minima_pallas(
+                q_xyz, ref_xyz, ref_ring, ref_mask, n_rings,
+                tile_q=tq, tile_m=tm,
+            )
     return ring_minima_xla(q_xyz, ref_xyz, ref_ring, ref_mask, n_rings)

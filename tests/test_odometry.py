@@ -209,3 +209,16 @@ def test_query_chunked_nn_matches_dense():
     x_b, _ = odometry.odometry_solve(fc.sharp, fc.flat, fp.less_sharp,
                                      fp.less_flat, jnp.zeros(6), cfg_chunked)
     np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_b), atol=2e-3)
+
+
+def test_unrolled_iters_match_fori_loop():
+    """unroll_iters=True is a pure scheduling change: bit-identical solves."""
+    m1 = _pose(x=0.2, y=0.0, z=0.3)
+    fp, fc, _ = _sweep_pair(jnp.asarray(m1))
+    cfg_u = dataclasses.replace(CFG_ODO, unroll_iters=True)
+    x_a, st_a = odometry.odometry_solve(fc.sharp, fc.flat, fp.less_sharp,
+                                        fp.less_flat, jnp.zeros(6), CFG_ODO)
+    x_b, st_b = odometry.odometry_solve(fc.sharp, fc.flat, fp.less_sharp,
+                                        fp.less_flat, jnp.zeros(6), cfg_u)
+    np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_b), atol=1e-6)
+    assert int(st_a.iter_used) == int(st_b.iter_used)
