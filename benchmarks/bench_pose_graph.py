@@ -26,8 +26,10 @@ from cooper_mapper_tpu.ops import pose_graph as pg
 
 
 def build_graph(n, seed=0, loop_every=100):
+    """Drifted loop-closure graph, assembled host-side in numpy (a Python
+    add_node/add_edge loop costs one device round trip per element — minutes
+    through the axon tunnel at n=1024)."""
     rng = np.random.RandomState(seed)
-    graph = pg.create(n, 2 * n)
     gt = [np.eye(4, dtype=np.float32)]
     step = np.eye(4, dtype=np.float32)
     step[0, 3] = 1.0
@@ -38,24 +40,21 @@ def build_graph(n, seed=0, loop_every=100):
     for k in range(1, n):
         gt.append(gt[-1] @ step @ rot)
     est = [gt[0]]
-    slot = 0
+    ei, ej, eT, einfo = [], [], [], []
     for k in range(1, n):
         rel = np.linalg.inv(gt[k - 1]) @ gt[k]
         noise = np.eye(4, dtype=np.float32)
         noise[:3, 3] = 0.02 * rng.randn(3)
         rel_noisy = (rel @ noise).astype(np.float32)
         est.append((est[-1] @ rel_noisy).astype(np.float32))
-        graph = pg.add_edge(graph, slot, k - 1, k, jnp.asarray(rel_noisy),
-                            jnp.ones(6))
-        slot += 1
-    for k in range(n):
-        graph = pg.add_node(graph, k, jnp.asarray(est[k]))
+        ei.append(k - 1); ej.append(k); eT.append(rel_noisy)
+        einfo.append(np.ones(6, np.float32))
     for k in range(loop_every, n, loop_every):
         rel = (np.linalg.inv(gt[k - loop_every]) @ gt[k]).astype(np.float32)
-        graph = pg.add_edge(graph, slot, k - loop_every, k, jnp.asarray(rel),
-                            2.0 * jnp.ones(6))
-        slot += 1
-    return graph
+        ei.append(k - loop_every); ej.append(k); eT.append(rel)
+        einfo.append(2.0 * np.ones(6, np.float32))
+    return pg.from_arrays(np.stack(est), ei, ej, np.stack(eT),
+                          np.stack(einfo), max_nodes=n, max_edges=2 * n)
 
 
 def main():

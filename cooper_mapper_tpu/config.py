@@ -81,6 +81,15 @@ class OdometryConfig:
     # unroll the inner GN iterations instead of lax.fori_loop — identical
     # results, larger program, better XLA fusion across refresh boundaries
     unroll_iters: bool = False
+    # native-mode chaining stabilizer: de-warp the query sweep with the
+    # warm-start twist (constant-velocity prior), then solve the residual
+    # motion RIGIDLY (s=1 for every point).  The reference's s-scaled warp
+    # makes each solve's error couple to the previous sweep's projection
+    # error with loop gain that can exceed 1 (pitch/height see-saw); the
+    # reference stays stable only through its 0.05 residual under-relaxation.
+    # De-warp + rigid solve caps the gain at ~E[1-s] ~ 0.5.  Ignored in
+    # parity_mode (the reference has no such stage)
+    cv_dewarp: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

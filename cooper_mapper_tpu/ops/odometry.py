@@ -211,6 +211,26 @@ def odometry_solve(
         st, corr = carry
         return step(st, corr, it), corr
 
+    x_base = None
+    if cfg.cv_dewarp and not parity_mode:
+        # constant-velocity de-warp: remove the predicted in-sweep motion
+        # (x0, the previous twist) from the query clouds, then solve the
+        # residual motion rigidly (rel_time = 1 for every point, so the
+        # warp is the full TZYX(delta)).  The chained reference-projection
+        # feedback is stable this way (see OdometryConfig.cv_dewarp).
+        sharp = dataclasses.replace(
+            sharp,
+            xyz=twist.warp_to_start(x0, sharp.xyz, sharp.rel_time),
+            rel_time=jnp.ones_like(sharp.rel_time),
+        )
+        flat = dataclasses.replace(
+            flat,
+            xyz=twist.warp_to_start(x0, flat.xyz, flat.rel_time),
+            rel_time=jnp.ones_like(flat.rel_time),
+        )
+        x_base = x0
+        x0 = jnp.zeros_like(x0)
+
     st = gn.gn_init(x0)
     n_blocks = -(-cfg.max_iterations // cfg.refresh_every)
     for block in range(n_blocks):
@@ -230,6 +250,13 @@ def odometry_solve(
                 st = step(st, corr, jnp.int32(it))
         else:
             st, _ = jax.lax.fori_loop(start, stop, body, (st, corr))
+    if x_base is not None:
+        # compose the de-warp prior back in: total sweep motion
+        # M = TZYX(delta) @ TZYX(x_prev)
+        x_total = twist.from_relative_motion(
+            twist.to_mat(st.x) @ twist.to_mat(x_base)
+        )
+        st = dataclasses.replace(st, x=x_total)
     return st.x, st
 
 

@@ -283,6 +283,45 @@ def gn_nan_guard(x):
 # ---------------------------------------------------------------------------
 
 
+def from_arrays(poses, edge_i, edge_j, edge_T, edge_info,
+                max_nodes: int | None = None,
+                max_edges: int | None = None) -> PoseGraph:
+    """Build a PoseGraph from dense host arrays in one shot.
+
+    The incremental add_node/add_edge path costs one device round trip per
+    element — fine inside a jitted ingest, pathological for bulk loads over
+    a remote device (one .g2o of 1k nodes = 3k round trips).  Here the
+    padding/masking happens in numpy and the device sees one transfer.
+    """
+    import numpy as np
+
+    poses = np.asarray(poses, np.float32)
+    edge_i = np.asarray(edge_i, np.int32)
+    edge_j = np.asarray(edge_j, np.int32)
+    edge_T = np.asarray(edge_T, np.float32)
+    edge_info = np.asarray(edge_info, np.float32)
+    n, e = poses.shape[0], edge_i.shape[0]
+    N = max_nodes or n
+    E = max_edges or e
+
+    def pad(a, cap, fill):
+        out = np.empty((cap,) + a.shape[1:], a.dtype)
+        out[:a.shape[0]] = a
+        out[a.shape[0]:] = fill
+        return out
+
+    eye = np.eye(4, dtype=np.float32)
+    return PoseGraph(
+        poses=jnp.asarray(pad(poses, N, eye)),
+        node_mask=jnp.asarray(np.arange(N) < n),
+        edge_i=jnp.asarray(pad(edge_i, E, 0)),
+        edge_j=jnp.asarray(pad(edge_j, E, 0)),
+        edge_T=jnp.asarray(pad(edge_T, E, eye)),
+        edge_info=jnp.asarray(pad(edge_info, E, 1.0)),
+        edge_mask=jnp.asarray(np.arange(E) < e),
+    )
+
+
 def add_node(graph: PoseGraph, idx: int, pose) -> PoseGraph:
     return dataclasses.replace(
         graph,

@@ -66,11 +66,14 @@ class TestOdometrySolve:
         ],
     )
     def test_recovers_motion(self, motion):
+        # clean static reference + distorted query + zero prior: the
+        # s-scaled warp model's home case (cv_dewarp needs a motion prior
+        # or equally-distorted clouds; see test_cv_dewarp_*)
         motion = jnp.asarray(motion)
         f_prev, f_cur, gt = _sweep_pair(motion)
         x, st = odometry.odometry_solve(
             f_cur.sharp, f_cur.flat, f_prev.less_sharp, f_prev.less_flat,
-            jnp.zeros(6), CFG_ODO,
+            jnp.zeros(6), dataclasses.replace(CFG_ODO, cv_dewarp=False),
         )
         M_est = twist.to_relative_motion(x)
         err = np.array(se3.se3_log(se3.inverse(motion) @ M_est))
@@ -103,7 +106,7 @@ class TestOdometrySolve:
             stack(fp1.less_sharp, fp2.less_sharp),
             stack(fp1.less_flat, fp2.less_flat),
             jnp.zeros((2, 6)),
-            CFG_ODO,
+            dataclasses.replace(CFG_ODO, cv_dewarp=False),
         )
         M1 = twist.to_relative_motion(xs[0])
         M2 = twist.to_relative_motion(xs[1])
@@ -222,3 +225,81 @@ def test_unrolled_iters_match_fori_loop():
                                         fp.less_flat, jnp.zeros(6), cfg_u)
     np.testing.assert_allclose(np.asarray(x_a), np.asarray(x_b), atol=1e-6)
     assert int(st_a.iter_used) == int(st_b.iter_used)
+
+
+class TestCvDewarp:
+    """Constant-velocity de-warp + rigid solve (OdometryConfig.cv_dewarp)."""
+
+    def test_warm_start_recovers_exactly(self):
+        # distorted query vs clean start-frame reference: the prior carries
+        # the distortion, the rigid solve refines
+        motion = jnp.asarray(_pose(x=-0.2, y=0.03, z=0.3, yaw=-0.04))
+        f_prev, f_cur, gt = _sweep_pair(motion)
+        # prior noise at chained-solve scale: ~0.3 deg rotation, ~2 cm
+        # translation (a previous solve's typical error).  Large rotation
+        # prior noise creates dewarp ramps the rigid fit can only partially
+        # absorb (the s-model has the mirrored weakness via its reference
+        # projection); the chain test below covers the closed loop.
+        rng = np.random.RandomState(3)
+        noise = np.concatenate([0.005 * rng.randn(3), 0.02 * rng.randn(3)])
+        x0 = gt + jnp.asarray(noise, jnp.float32)
+        x, st = odometry.odometry_solve(
+            f_cur.sharp, f_cur.flat, f_prev.less_sharp, f_prev.less_flat,
+            x0, CFG_ODO,
+        )
+        err = np.array(se3.se3_log(se3.inverse(motion) @ twist.to_relative_motion(x)))
+        assert np.linalg.norm(err[:3]) < 0.05, err
+        assert np.linalg.norm(err[3:]) < 0.01, err
+
+    def test_equal_distortion_cold_start(self):
+        # two consecutive sweeps at the same velocity carry the same
+        # distortion field: rigid alignment is exact even with zero prior
+        motion = _pose(x=0.05, y=0.0, z=0.4, yaw=0.03)
+        world = sim.make_room_world(seed=7)
+        p1 = _pose()
+        p0 = p1 @ jnp.linalg.inv(motion)
+        p2 = p1 @ motion
+        s_prev = sim.scan_sweep(world, p0, p1, n_rings=16, width=512)
+        s_cur = sim.scan_sweep(world, p1, p2, n_rings=16, width=512)
+        f_prev = features.extract_features(s_prev, CFG_REG)
+        f_cur = features.extract_features(s_cur, CFG_REG)
+        x, st = odometry.odometry_solve(
+            f_cur.sharp, f_cur.flat, f_prev.less_sharp, f_prev.less_flat,
+            jnp.zeros(6), CFG_ODO,
+        )
+        err = np.array(se3.se3_log(
+            se3.inverse(jnp.asarray(motion)) @ twist.to_relative_motion(x)))
+        assert np.linalg.norm(err[:3]) < 0.06, err
+
+    def test_chained_sweeps_stay_stable(self):
+        # the reason cv_dewarp exists: the s-scaled model's estimate error
+        # feeds back through the end-projected reference with loop gain > 1
+        # (pitch/height see-saw); de-warp + rigid solve keeps the chain tight
+        from cooper_mapper_tpu.models.laser_odometry import _project_to_end
+
+        world = sim.make_room_world(seed=7)
+        motion = np.asarray(_pose(x=0.05, y=0.0, z=0.4, yaw=0.03))
+        poses = [np.asarray(_pose())]
+        for _ in range(6):
+            poses.append(poses[-1] @ motion)
+        fcs = [
+            features.extract_features(
+                sim.scan_sweep(world, jnp.asarray(poses[i]),
+                               jnp.asarray(poses[i + 1]), n_rings=16, width=512),
+                CFG_REG,
+            )
+            for i in range(6)
+        ]
+        ref_c, ref_s = fcs[0].less_sharp, fcs[0].less_flat
+        x_prev = jnp.zeros(6)
+        errs = []
+        for i in range(1, 6):
+            x, _ = odometry.odometry_solve(
+                fcs[i].sharp, fcs[i].flat, ref_c, ref_s, x_prev, CFG_ODO)
+            err = np.array(se3.se3_log(
+                se3.inverse(jnp.asarray(motion)) @ twist.to_relative_motion(x)))
+            errs.append(np.linalg.norm(err[:3]))
+            ref_c = _project_to_end(x, fcs[i].less_sharp)
+            ref_s = _project_to_end(x, fcs[i].less_flat)
+            x_prev = x
+        assert max(errs[1:]) < 0.08, errs

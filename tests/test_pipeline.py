@@ -60,7 +60,9 @@ class TestSlamPipeline:
         # ground truth poses are relative to the first pose's frame
         gt_rel = np.stack([np.linalg.inv(gt[0]) @ g for g in gt])
         stats = evaluation.ate(est[:, :3, 3], gt_rel[:, :3, 3])
-        assert stats.rmse < 0.25, f"ATE rmse {stats.rmse}: {est[:,:3,3] - gt_rel[:,:3,3]}"
+        # cv_dewarp odometry holds per-sweep error at ~1 cm; the merged
+        # trajectory lands well under 0.12 (was 0.25 with the s-model chain)
+        assert stats.rmse < 0.12, f"ATE rmse {stats.rmse}: {est[:,:3,3] - gt_rel[:,:3,3]}"
 
     def test_odometry_close_to_mapping(self, run):
         pipe, results, gt = run
@@ -89,7 +91,7 @@ class TestLocalPipeline:
         est = np.stack([r.merged_pose for r in results])
         gt_rel = np.stack([np.linalg.inv(gt[0]) @ g for g in gt])
         stats = evaluation.ate(est[:, :3, 3], gt_rel[:, :3, 3])
-        assert stats.rmse < 0.3, f"ATE rmse {stats.rmse}"
+        assert stats.rmse < 0.15, f"ATE rmse {stats.rmse}"
 
 
 class TestEvaluation:
