@@ -73,6 +73,15 @@ class OdometryConfig:
     # [Q, M] tile).  Caps peak memory of the batched solve at
     # [B, chunk, M] — set for very large B (memory, not speed)
     nn_query_chunk: int = 0
+    # windowed B/C correspondence search: after the full race for the nearest
+    # neighbor A, find the same-ring / adjacent-ring partners inside an index
+    # window of this width around A in the azimuth-major-sorted reference
+    # cloud — the reference's own bounded index walk around its kd-tree hit
+    # (LaserOdometry.cpp:366-408) — instead of re-racing the full [Q, M]
+    # distance tile per partner.  Cuts refresh HBM traffic from 5 tiles to 2.
+    # 0 = full-tile races for every partner (global minima, a superset of the
+    # reference's bounded walk)
+    nn_window: int = 0
     # MXU precision of the NN cross-term matmul only (None = package default,
     # 'highest').  'high' = 3-pass bf16: ~5% faster solves, but near-tie NN
     # races can flip, perturbing poses at the convergence-tolerance scale

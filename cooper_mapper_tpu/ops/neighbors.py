@@ -105,6 +105,27 @@ def _select_ring(minv, idxv, ring_sel):
 # results — benchmarks/exp_races.py).
 
 
+def _window_candidates(ref, ia, window: int):
+    """Gather a contiguous index window of ``window`` candidates around ia.
+
+    Requires the reference cloud sorted azimuth-major
+    (utils/cloud.sort_azimuth_major) so the window spans all rings at azimuths
+    near the race-1 winner — the same candidate neighborhood the reference
+    walks index-wise around its kd-tree hit (LaserOdometry.cpp:366-408).
+    Returns (idx [Q, W], xyz [Q, W, 3], ring [Q, W], mask [Q, W]).
+    """
+    offs = jnp.arange(window, dtype=jnp.int32) - window // 2
+    idx = jnp.clip(ia[:, None] + offs[None, :], 0, ref.capacity - 1)
+    return idx, ref.xyz[idx], ref.ring[idx], ref.mask[idx]
+
+
+def _window_min(q_xyz, w_xyz, sel):
+    """Min/argmin over the window axis: ([Q,3], [Q,W,3], [Q,W]) -> ([Q],[Q])."""
+    d = jnp.sum((q_xyz[:, None, :] - w_xyz) ** 2, axis=-1)
+    d = jnp.where(sel, d, BIG)
+    return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1)
+
+
 def _race_dist(q_xyz, ref, precision):
     """A fresh masked [Q, M] distance tile that XLA will not CSE away."""
     qb = jax.lax.optimization_barrier(q_xyz)
@@ -128,21 +149,39 @@ def _chunked_queries(fn, q_xyz, chunk: int):
 
 
 def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
-                 n_rings: int = 16, query_chunk: int = 0, precision=None):
+                 n_rings: int = 16, query_chunk: int = 0, precision=None,
+                 window: int = 0):
     """Odometry corner correspondences (LaserOdometry.cpp:358-408).
 
     A = nearest reference corner; B = nearest corner on a *different* ring
     within ``ring_span`` rings of A's ring.  Returns (ia, ib, valid [Q]).
     ``query_chunk > 0`` streams the distance tile in query chunks.
+    ``window > 0`` finds B inside a ``window``-wide index window around A
+    instead of a second full distance race — requires ``ref`` sorted
+    azimuth-major (the reference's own bounded index walk around the kd-tree
+    hit, :366-382); one [Q, M] tile instead of two.
     """
     import os
 
     if query_chunk and q_xyz.shape[0] > query_chunk:
         return _chunked_queries(
             lambda qc: corner_pairs(qc, ref, max_sq_dist, ring_span, n_rings,
-                                    precision=precision),
+                                    precision=precision, window=window),
             q_xyz, query_chunk,
         )
+
+    if window:
+        d = _race_dist(q_xyz, ref, precision)
+        ia = jnp.argmin(d, axis=-1)
+        da = jnp.min(d, axis=-1)
+        ring_a = ref.ring[ia]
+        idx, wxyz, wring, wmask = _window_candidates(ref, ia, window)
+        rd = jnp.abs(wring - ring_a[:, None]).astype(jnp.float32)
+        sel = wmask & (rd > 0.0) & (rd <= ring_span)
+        db, jb = _window_min(q_xyz, wxyz, sel)
+        ib = jnp.take_along_axis(idx, jb[:, None], axis=-1)[:, 0]
+        valid = (da < max_sq_dist) & (db < max_sq_dist)
+        return ia, ib, valid
 
     if os.environ.get("COOPER_USE_PALLAS") == "1" and jax.default_backend() == "tpu":
         min1, idx1, _, _ = _ring_minima(q_xyz, ref, n_rings)
@@ -172,22 +211,42 @@ def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
 
 
 def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
-                 n_rings: int = 16, query_chunk: int = 0, precision=None):
+                 n_rings: int = 16, query_chunk: int = 0, precision=None,
+                 window: int = 0):
     """Odometry surface correspondences (LaserOdometry.cpp:421-497).
 
     A = nearest surf point; B = nearest other surf on A's ring;
     C = nearest surf on a different ring within ``ring_span``.
     Returns (ia, ib, ic, valid [Q]).  ``query_chunk > 0`` streams the
-    distance tile in query chunks (see _chunked_queries).
+    distance tile in query chunks (see _chunked_queries).  ``window > 0``
+    finds B and C inside an index window around A (ref must be sorted
+    azimuth-major) — one [Q, M] tile instead of three; mirrors the
+    reference's bounded index walk (:437-475).
     """
     import os
 
     if query_chunk and q_xyz.shape[0] > query_chunk:
         return _chunked_queries(
             lambda qc: surf_triples(qc, ref, max_sq_dist, ring_span, n_rings,
-                                    precision=precision),
+                                    precision=precision, window=window),
             q_xyz, query_chunk,
         )
+
+    if window:
+        d = _race_dist(q_xyz, ref, precision)
+        ia = jnp.argmin(d, axis=-1)
+        da = jnp.min(d, axis=-1)
+        ring_a = ref.ring[ia]
+        idx, wxyz, wring, wmask = _window_candidates(ref, ia, window)
+        same = wmask & (wring == ring_a[:, None]) & (idx != ia[:, None])
+        db, jb = _window_min(q_xyz, wxyz, same)
+        ib = jnp.take_along_axis(idx, jb[:, None], axis=-1)[:, 0]
+        rd = jnp.abs(wring - ring_a[:, None]).astype(jnp.float32)
+        adj = wmask & (rd > 0.0) & (rd <= ring_span)
+        dc, jc = _window_min(q_xyz, wxyz, adj)
+        ic = jnp.take_along_axis(idx, jc[:, None], axis=-1)[:, 0]
+        valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
+        return ia, ib, ic, valid
 
     if os.environ.get("COOPER_USE_PALLAS") == "1" and jax.default_backend() == "tpu":
         min1, idx1, min2, idx2 = _ring_minima(q_xyz, ref, n_rings)

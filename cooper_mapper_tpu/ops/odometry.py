@@ -119,11 +119,11 @@ def _find_correspondences(x, sharp: Cloud, flat: Cloud, last_corner: Cloud,
     ps = twist.warp_to_start(x, flat.xyz, flat.rel_time)
     ia_c, ib_c, ok_c = neighbors.corner_pairs(
         pc, last_corner, cfg.nn_sq_dist_max, cfg.ring_span, cfg.n_rings,
-        cfg.nn_query_chunk, precision=cfg.nn_precision,
+        cfg.nn_query_chunk, precision=cfg.nn_precision, window=cfg.nn_window,
     )
     ia_s, ib_s, ic_s, ok_s = neighbors.surf_triples(
         ps, last_surf, cfg.nn_sq_dist_max, cfg.ring_span, cfg.n_rings,
-        cfg.nn_query_chunk, precision=cfg.nn_precision,
+        cfg.nn_query_chunk, precision=cfg.nn_precision, window=cfg.nn_window,
     )
     return Correspondences(
         A_c=last_corner.xyz[ia_c],
@@ -210,6 +210,15 @@ def odometry_solve(
     def body(it, carry):
         st, corr = carry
         return step(st, corr, it), corr
+
+    if cfg.nn_window:
+        # windowed B/C search requires azimuth-major reference ordering (a
+        # contiguous index window then covers all rings at nearby azimuths);
+        # sorted once per solve, amortized over every refresh
+        from ..utils import cloud as cloud_lib
+
+        last_corner = cloud_lib.sort_azimuth_major(last_corner)
+        last_surf = cloud_lib.sort_azimuth_major(last_surf)
 
     x_base = None
     if cfg.cv_dewarp and not parity_mode:
