@@ -76,11 +76,13 @@ class OdometryConfig:
     # windowed B/C correspondence search: after the full race for the nearest
     # neighbor A, find the same-ring / adjacent-ring partners inside an index
     # window of this width around A in the azimuth-major-sorted reference
-    # cloud — the reference's own bounded index walk around its kd-tree hit
-    # (LaserOdometry.cpp:366-408) — instead of re-racing the full [Q, M]
-    # distance tile per partner.  Cuts refresh HBM traffic from 5 tiles to 2.
-    # 0 = full-tile races for every partner (global minima, a superset of the
-    # reference's bounded walk)
+    # cloud — an azimuth-local APPROXIMATION of the reference's ring-band
+    # walk around its kd-tree hit (which is ring-major and spans whole rings
+    # azimuthally, LaserOdometry.cpp:366-382) — instead of re-racing the full
+    # [Q, M] distance tile per partner.  Cuts refresh HBM traffic from 5
+    # tiles to 2.  Must be 0 (off: full-tile races, global minima) or
+    # >= 3 * n_rings (validated at trace time; narrower windows silently
+    # lose all same-ring partners)
     nn_window: int = 0
     # MXU precision of the NN cross-term matmul only (None = package default,
     # 'highest').  'high' = 3-pass bf16: ~5% faster solves, but near-tie NN
@@ -150,18 +152,35 @@ class MapConfig:
     # bucket grid used for 5-NN within the surround cloud
     bucket_size: float = 2.0
     bucket_capacity: int = 32
+    # vertical-FOV active-area cull (DynamicFeatureMap::InVerticalFov,
+    # DynamicFeatureMap.h:748-804): surround cubes whose vertical angle from
+    # the sensor lies outside [-down, +up] degrees contribute nothing.  The
+    # reference applies this only in the out-of-core map; 0/0 disables.
+    vfov_up_deg: float = 0.0
+    vfov_down_deg: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
 class MatcherConfig:
-    """LaserMatcher shared knobs (LaserMatcher.cpp:45-170)."""
+    """LaserMatcher shared knobs (LaserMatcher.cpp:45-170).
+
+    The reference's ``inputFrameSkip`` (process 1 in every skip+1 odometry
+    frames, LaserLocalization.cpp:175-178) maps to
+    ``PipelineConfig.mapping_stride`` — one knob, not two.
+    ``dynamic_mode`` switches the pipeline's map to the out-of-core
+    DynamicFeatureMap with disk paging (LaserMatcher.cpp:107-118).
+    """
 
     corner_leaf: float = 0.2     # prepareFeatureFrame voxel leaves (:288-301)
     surf_leaf: float = 0.4
-    frame_skip: int = 0          # process every Nth odometry frame
     dynamic_mode: bool = False
+    map_directory: str = "/tmp/cooper_dynamic_map"  # cube PCD store for dynamic_mode
     max_frame_corner: int = 4096   # downsampled incoming stack capacities
     max_frame_surf: int = 8192
+    # in-loop map hygiene: voxel re-deduplicate the active cubes every Nth
+    # mapping solve (downsizeValidCloud runs every pass in the reference,
+    # FeatureMap.h:289-306; a stride amortizes the gather/scatter cost)
+    dedup_stride: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,24 +43,31 @@ def replay_predict(
     """Run UKF predicts through all samples with t_from < stamp <= t_until.
 
     dt for each step is the gap to the previous applied sample (clamped to
-    [0, 0.5] s like the reference's sanity window).
+    [0, 0.5] s like the reference's sanity window).  Samples inside the
+    predict cool-down window after filter creation are skipped — the
+    reference's ``(stamp - init_stamp) < cool_time_duration`` early return
+    (ukf_pose_estimator.hpp:67-71).
     """
-    use = batch.mask & (batch.stamp > t_from) & (batch.stamp <= t_until)
+    in_window = batch.mask & (batch.stamp > t_from) & (batch.stamp <= t_until)
+    warm = batch.stamp - state.init_stamp >= cfg.cool_time_duration
+    use = in_window & warm
 
     def step(carry, inp):
         est, t_prev = carry
-        stamp, acc, gyro, ok = inp
+        stamp, acc, gyro, ok, seen = inp
         dt = jnp.clip(stamp - t_prev, 0.0, 0.5)
 
         pred = ukf_estimator.predict(est, acc, gyro, dt, cfg)
         est_new = jax.tree.map(
             lambda a, b: jnp.where(ok, a, b), pred, est
         )
-        t_new = jnp.where(ok, stamp, t_prev)
+        # prev_stamp advances on cool-down-skipped samples too (the
+        # reference's early return still sets prev_stamp = stamp)
+        t_new = jnp.where(seen, stamp, t_prev)
         return (est_new, t_new), None
 
     (final, _), _ = jax.lax.scan(
-        step, (state, t_from), (batch.stamp, batch.acc, batch.gyro, use)
+        step, (state, t_from), (batch.stamp, batch.acc, batch.gyro, use, in_window)
     )
     return final
 

@@ -41,15 +41,26 @@ def _stats(errs: np.ndarray, per_axis: np.ndarray) -> ErrorStats:
 def online_error(est_pos, gt_pos, est_stamp=None, gt_stamp=None,
                  outlier_threshold=10.0) -> ErrorStats:
     """The Evaluation-node metric: nearest-time matching + outlier drop
-    (Evaluation.cpp:53-78,133-146)."""
+    (Evaluation.cpp:53-78,133-146).
+
+    Each estimate is paired with the GNSS sample of minimum |Δt| — the
+    reference walks its GPS ring buffer backwards keeping the closest stamp
+    (Evaluation.cpp:44-51).  Without stamps the arrays are paired index-wise
+    (both truncated to the shorter length).
+    """
     est_pos = np.asarray(est_pos)
     gt_pos = np.asarray(gt_pos)
     if est_stamp is not None and gt_stamp is not None:
-        idx = np.searchsorted(np.asarray(gt_stamp), np.asarray(est_stamp))
-        idx = np.clip(idx, 0, len(gt_pos) - 1)
+        gt_t = np.asarray(gt_stamp)
+        est_t = np.asarray(est_stamp)
+        right = np.clip(np.searchsorted(gt_t, est_t), 0, len(gt_pos) - 1)
+        left = np.clip(right - 1, 0, len(gt_pos) - 1)
+        take_left = np.abs(gt_t[left] - est_t) <= np.abs(gt_t[right] - est_t)
+        idx = np.where(take_left, left, right)
         gt_matched = gt_pos[idx]
     else:
-        gt_matched = gt_pos[: len(est_pos)]
+        n = min(len(est_pos), len(gt_pos))
+        est_pos, gt_matched = est_pos[:n], gt_pos[:n]
     diff = est_pos - gt_matched
     err = np.linalg.norm(diff, axis=-1)
     keep = err < outlier_threshold

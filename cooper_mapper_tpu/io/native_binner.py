@@ -35,6 +35,11 @@ def _load():
     for name in ("bin_sweep", "bin_sweep_batch"):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
+    for name in ("bin_sweep_table", "bin_sweep_table_batch"):
+        # absent in pre-table builds of the library; rebuilt via make -C native
+        fn = getattr(lib, name, None)
+        if fn is not None:
+            fn.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -103,6 +108,50 @@ def bin_sweep_batch_native(points: np.ndarray, n_rings: int, width: int, **kw):
         ctypes.c_float(kw.get("min_range", 0.5)),
         ctypes.c_float(kw.get("max_range", 150.0)),
         ctypes.c_float(kw.get("sentinel", 1.0e6)),
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rel.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return xyz, mask.astype(bool), rel
+
+
+def table_supported() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "bin_sweep_table")
+
+
+def bin_sweep_table_native(
+    points: np.ndarray,
+    table_deg: np.ndarray,
+    width: int,
+    min_range: float = 0.5,
+    max_range: float = 150.0,
+    axis_remap: bool = True,
+    sentinel: float = 1.0e6,
+):
+    """Organize one raw sweep with a vendor elevation table (ring = nearest
+    channel angle, the Pandar40 mapper — lidar_type.h:13-72).  ``table_deg``
+    must be ascending; its length is the ring count."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bin_sweep_table"):
+        raise RuntimeError("libsweep_binner.so lacks bin_sweep_table (make -C native)")
+    pts = np.ascontiguousarray(points, np.float32)
+    table = np.ascontiguousarray(table_deg, np.float32)
+    n_rings = len(table)
+    n = len(pts)
+    xyz = np.empty((n_rings, width, 3), np.float32)
+    mask = np.empty((n_rings, width), np.uint8)
+    rel = np.empty((n_rings, width), np.float32)
+    lib.bin_sweep_table(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int(n),
+        ctypes.c_int(1 if axis_remap else 0),
+        ctypes.c_int(n_rings),
+        ctypes.c_int(width),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_float(min_range),
+        ctypes.c_float(max_range),
+        ctypes.c_float(sentinel),
         xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         rel.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

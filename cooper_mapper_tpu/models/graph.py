@@ -98,7 +98,13 @@ class LoopDetector:
             # plan-view (y-flattened) distance, loop_detector.hpp:92-104
             d = estimates[i][:3, 3] - pos_new
             d[1] = 0.0
-            if np.linalg.norm(d) > cfg.distance_thresh:
+            d_sq = float(d @ d)
+            if d_sq > cfg.distance_thresh**2:
+                continue
+            # estimated-distance gate: the reference compares the SQUARED
+            # plan-view distance against estimated_distance_thresh (25.0)
+            # and stops scanning candidates past it (loop_detector.hpp:135-137)
+            if d_sq >= cfg.estimated_distance_thresh:
                 continue
             cands.append(i)
         if not cands:

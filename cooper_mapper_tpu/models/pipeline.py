@@ -142,6 +142,11 @@ class SlamPipeline:
 
         # ---- UKF fusion: replay IMU predicts, correct with the solve ------
         if imu is not None and stamp is not None:
+            if self._last_stamp is None:
+                # filter birth: anchors the predict cool-down window
+                self.ukf = dataclasses.replace(
+                    self.ukf, init_stamp=jnp.float32(stamp)
+                )
             t_from = self._last_stamp if self._last_stamp is not None else stamp - 0.1
             self.ukf = imu_queue.replay_predict(
                 self.ukf, imu, jnp.float32(t_from), jnp.float32(stamp), cfg.ukf
@@ -152,7 +157,13 @@ class SlamPipeline:
                 (pos - self._last_fused_pos) / dt
                 if self._last_fused_pos is not None else np.zeros(3)
             )
-            if mapping_success is None or mapping_success or self.mode != "localization":
+            # correct only on sweeps where a map solve actually ran — the
+            # reference's correct lives in transformUpdate, downstream of
+            # optimizeTransform (LaserLocalization.cpp:140-166) — and in
+            # mapping/local modes additionally only from ACCEPTED solves (a
+            # failed gate would feed the filter an untrusted pose)
+            solve_ran = mapping_success is not None
+            if solve_ran and (mapping_success or self.mode == "localization"):
                 self.ukf = imu_queue.correct_from_lidar(
                     self.ukf, jnp.asarray(merged, jnp.float32),
                     jnp.asarray(vel, jnp.float32), self.T_li, cfg.ukf,

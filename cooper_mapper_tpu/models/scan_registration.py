@@ -46,11 +46,16 @@ VLP16 = LinearRingMapper(-15.0, 15.0, 16)
 HDL32 = LinearRingMapper(-30.67, 10.67, 32)
 HDL64E = LinearRingMapper(-24.9, 2.0, 64)
 
-# Pandar40 uses a non-linear table (lidar_type.h:6-104); approximate entries
-# for the functional equivalent — a real deployment loads the vendor table.
-_PANDAR40_ANGLES = np.concatenate(
-    [np.linspace(-25.0, -6.0, 10), np.linspace(-5.0, 2.0, 24), np.linspace(3.0, 15.0, 6)]
-)
+# Pandar40 vendor elevation table (angle_pandar, lidar_type.h:13-53; the
+# vendor lists rings top-down and scanID_pandar40 assigns ring = 39 - i, so
+# the ascending-order table below gives the same ring ids via argmin).
+_PANDAR40_ANGLES = np.array([
+    -15.444, -14.543, -13.63, -12.705, -11.772, -10.826, -9.871, -8.908,
+    -7.934, -6.957, -5.974, -5.647, -5.311, -4.986, -4.657, -4.321,
+    -3.996, -3.663, -3.327, -3.0, -2.667, -2.331, -2.001, -1.667,
+    -1.334, -1.001, -0.667, -0.334, 0.0, 0.333, 0.667, 1.001,
+    1.333, 1.667, 2.001, 2.999, 3.996, 4.988, 5.976, 6.96,
+])
 
 
 @dataclasses.dataclass(frozen=True)

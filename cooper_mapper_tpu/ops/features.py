@@ -72,6 +72,24 @@ class FeatureClouds:
     less_flat: Cloud
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FeatureDebug:
+    """Per-point extraction internals, the /point_blind//point_block/
+    /point_slop//point_curvature debug clouds (ScanRegistration.cpp:81-86,
+    679-682) as grid-shaped arrays.
+
+    All fields are [R, W] aligned with the input Sweep.
+    """
+
+    curvature: jax.Array   # squared-norm curvature (setRegionBuffersFor)
+    status: jax.Array      # int32: BLIND_BLOCK / NEAR_BLOCK / EDGE_BROKEN / 0
+    label: jax.Array       # int32 classification (pointClassify)
+    region_id: jax.Array   # azimuthal region id, -1 outside the feature span
+    sharp_picked: jax.Array  # bool: point entered the sharp cloud
+    flat_picked: jax.Array   # bool: point entered the flat cloud
+
+
 def _shift(x, k, fill):
     """Shift along the last *point* axis (axis=-1 for 1D fields) by k with fill."""
     if k == 0:
@@ -283,12 +301,7 @@ def _mask_cloud(xyz, rel_time, ring_ids, mask2d, capacity):
     return cloud_lib.compact(c, capacity)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def extract_features(sweep: Sweep, cfg: RegistrationConfig) -> FeatureClouds:
-    """Full feature extraction for one sweep.
-
-    vmap over a leading batch dimension of Sweep for batched execution.
-    """
+def _extract_impl(sweep: Sweep, cfg: RegistrationConfig):
     xyz, mask, rel_time = sweep.xyz, sweep.mask, sweep.rel_time
     R, W = mask.shape
     cr = cfg.curvature_region
@@ -358,4 +371,34 @@ def extract_features(sweep: Sweep, cfg: RegistrationConfig) -> FeatureClouds:
     )
     less_flat = voxel_downsample(less_flat_raw, cfg.less_flat_filter_size)
 
-    return FeatureClouds(sharp, less_sharp, flat, less_flat)
+    fc = FeatureClouds(sharp, less_sharp, flat, less_flat)
+    dbg = FeatureDebug(
+        curvature=curv,
+        status=status,
+        label=cls,
+        region_id=region_id,
+        sharp_picked=sharp_mask,
+        flat_picked=flat_mask,
+    )
+    return fc, dbg
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_features(sweep: Sweep, cfg: RegistrationConfig) -> FeatureClouds:
+    """Full feature extraction for one sweep.
+
+    vmap over a leading batch dimension of Sweep for batched execution.
+    """
+    return _extract_impl(sweep, cfg)[0]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_features_debug(sweep: Sweep, cfg: RegistrationConfig):
+    """extract_features plus the per-point debug internals — the optional
+    classification debug clouds of the reference (ScanRegistration.cpp:81-86).
+
+    Returns (FeatureClouds, FeatureDebug).  Same compiled program as
+    extract_features when the debug outputs are unused (XLA dead-code
+    eliminates them there).
+    """
+    return _extract_impl(sweep, cfg)

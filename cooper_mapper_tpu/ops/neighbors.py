@@ -108,15 +108,45 @@ def _select_ring(minv, idxv, ring_sel):
 def _window_candidates(ref, ia, window: int):
     """Gather a contiguous index window of ``window`` candidates around ia.
 
-    Requires the reference cloud sorted azimuth-major
-    (utils/cloud.sort_azimuth_major) so the window spans all rings at azimuths
-    near the race-1 winner — the same candidate neighborhood the reference
-    walks index-wise around its kd-tree hit (LaserOdometry.cpp:366-408).
+    REQUIRES the reference cloud sorted azimuth-major
+    (utils/cloud.sort_azimuth_major, invalid points last): the window then
+    spans all rings at azimuths near the race-1 winner.  This is an
+    *azimuth-local approximation* of the reference's candidate walk — the
+    reference's cloud is ring-major and its index walk breaks only on ring id
+    (LaserOdometry.cpp:366-382), so it spans whole rings azimuthally within
+    +/-2.5 rings; the window instead bounds the azimuth span and covers all
+    rings.  An UNSORTED reference cloud silently yields ~0 valid partners
+    (callers validate via _check_window).
+
+    Boundary behavior: jnp.clip shrinks the window one-sided at the array
+    ends, so queries whose A lands near index 0 or near the end of the valid
+    region search a half-width neighborhood (sweep start/end azimuths).  The
+    reference's walk does not wrap around the sweep seam either
+    (:366-382 breaks at the array ends), so this is parity, not a bug.
     Returns (idx [Q, W], xyz [Q, W, 3], ring [Q, W], mask [Q, W]).
     """
     offs = jnp.arange(window, dtype=jnp.int32) - window // 2
     idx = jnp.clip(ia[:, None] + offs[None, :], 0, ref.capacity - 1)
     return idx, ref.xyz[idx], ref.ring[idx], ref.mask[idx]
+
+
+def _check_window(window: int, n_rings: int):
+    """Trace-time validation of the windowed-search precondition.
+
+    A window narrower than ~3 rows of the azimuth-major grid cannot contain
+    a same-ring partner for most queries (each azimuth column holds n_rings
+    consecutive entries), silently dropping all surface constraints from the
+    solve — verified: window=16 with n_rings=16 yields 0 valid surf
+    correspondences.  window and n_rings are static, so this raises at trace
+    time, not on device.
+    """
+    if 0 < window < 3 * n_rings:
+        raise ValueError(
+            f"nn_window={window} is too narrow for n_rings={n_rings}: the "
+            f"azimuth-major index window must span >= 3 * n_rings entries "
+            f"(~3 azimuth columns) to contain same-ring/adjacent-ring "
+            f"partners; got < {3 * n_rings}."
+        )
 
 
 def _window_min(q_xyz, w_xyz, sel):
@@ -157,12 +187,14 @@ def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
     within ``ring_span`` rings of A's ring.  Returns (ia, ib, valid [Q]).
     ``query_chunk > 0`` streams the distance tile in query chunks.
     ``window > 0`` finds B inside a ``window``-wide index window around A
-    instead of a second full distance race — requires ``ref`` sorted
-    azimuth-major (the reference's own bounded index walk around the kd-tree
-    hit, :366-382); one [Q, M] tile instead of two.
+    instead of a second full distance race — an azimuth-local approximation
+    of the reference's ring-band walk around its kd-tree hit (:366-382; see
+    _window_candidates for how the neighborhoods differ) — REQUIRES ``ref``
+    sorted azimuth-major; one [Q, M] tile instead of two.
     """
     import os
 
+    _check_window(window, n_rings)
     if query_chunk and q_xyz.shape[0] > query_chunk:
         return _chunked_queries(
             lambda qc: corner_pairs(qc, ref, max_sq_dist, ring_span, n_rings,
@@ -219,12 +251,14 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
     C = nearest surf on a different ring within ``ring_span``.
     Returns (ia, ib, ic, valid [Q]).  ``query_chunk > 0`` streams the
     distance tile in query chunks (see _chunked_queries).  ``window > 0``
-    finds B and C inside an index window around A (ref must be sorted
-    azimuth-major) — one [Q, M] tile instead of three; mirrors the
-    reference's bounded index walk (:437-475).
+    finds B and C inside an index window around A (ref MUST be sorted
+    azimuth-major) — one [Q, M] tile instead of three; an azimuth-local
+    approximation of the reference's ring-band index walk (:437-475; see
+    _window_candidates).
     """
     import os
 
+    _check_window(window, n_rings)
     if query_chunk and q_xyz.shape[0] > query_chunk:
         return _chunked_queries(
             lambda qc: surf_triples(qc, ref, max_sq_dist, ring_span, n_rings,

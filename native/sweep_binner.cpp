@@ -26,6 +26,28 @@ inline float fast_atan2(float y, float x) { return std::atan2(y, x); }
 
 }  // namespace
 
+namespace {
+
+// Nearest ring in an ascending elevation-angle table (the Pandar40-style
+// vendor table mapper, lidar_type.h:13-72: ring = index of the closest
+// channel angle).  Binary search + one neighbor compare.
+inline int table_ring(float v_deg, const float* table, int n_rings) {
+  int lo = 0, hi = n_rings - 1;
+  while (lo < hi) {
+    int mid = (lo + hi) / 2;
+    if (table[mid] < v_deg)
+      lo = mid + 1;
+    else
+      hi = mid;
+  }
+  if (lo > 0 &&
+      std::fabs(v_deg - table[lo - 1]) <= std::fabs(v_deg - table[lo]))
+    return lo - 1;
+  return lo;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Organize one sweep.
@@ -39,10 +61,11 @@ extern "C" {
 //   out_mask:   [n_rings * width] uint8
 //   out_rel:    [n_rings * width] float32 in-sweep time fraction
 // Returns the number of points binned.
-int bin_sweep(const float* pts, int n, int axis_remap, int n_rings, int width,
-              float lower_deg, float upper_deg, float min_range,
-              float max_range, float sentinel, float* out_xyz,
-              uint8_t* out_mask, float* out_rel) {
+static int bin_sweep_impl(const float* pts, int n, int axis_remap, int n_rings,
+                          int width, float lower_deg, float upper_deg,
+                          const float* table, float min_range, float max_range,
+                          float sentinel, float* out_xyz, uint8_t* out_mask,
+                          float* out_rel) {
   const int cells = n_rings * width;
   for (int i = 0; i < cells; ++i) {
     out_xyz[3 * i + 0] = sentinel;
@@ -77,7 +100,8 @@ int bin_sweep(const float* pts, int n, int axis_remap, int n_rings, int width,
 
     const float horiz = std::sqrt(x * x + z * z);
     const float v_deg = std::atan2(y, horiz) * (180.0f / kPi);
-    const int ring = (int)std::lround((v_deg - lower_deg) * ring_factor);
+    const int ring = table ? table_ring(v_deg, table, n_rings)
+                           : (int)std::lround((v_deg - lower_deg) * ring_factor);
     if (ring < 0 || ring >= n_rings) continue;
 
     float az = fast_atan2(z, x);
@@ -109,6 +133,27 @@ int bin_sweep(const float* pts, int n, int axis_remap, int n_rings, int width,
   return binned;
 }
 
+int bin_sweep(const float* pts, int n, int axis_remap, int n_rings, int width,
+              float lower_deg, float upper_deg, float min_range,
+              float max_range, float sentinel, float* out_xyz,
+              uint8_t* out_mask, float* out_rel) {
+  return bin_sweep_impl(pts, n, axis_remap, n_rings, width, lower_deg,
+                        upper_deg, /*table=*/nullptr, min_range, max_range,
+                        sentinel, out_xyz, out_mask, out_rel);
+}
+
+// Table-mapper variant: ring = nearest channel in an ASCENDING elevation
+// table of n_rings angles (degrees) — the Pandar40 vendor calibration
+// (lidar_type.h:13-72).
+int bin_sweep_table(const float* pts, int n, int axis_remap, int n_rings,
+                    int width, const float* table_deg, float min_range,
+                    float max_range, float sentinel, float* out_xyz,
+                    uint8_t* out_mask, float* out_rel) {
+  return bin_sweep_impl(pts, n, axis_remap, n_rings, width, 0.0f, 1.0f,
+                        table_deg, min_range, max_range, sentinel, out_xyz,
+                        out_mask, out_rel);
+}
+
 // Batched variant: b sweeps, each n points, outputs stacked grids.
 int bin_sweep_batch(const float* pts, int b, int n, int axis_remap,
                     int n_rings, int width, float lower_deg, float upper_deg,
@@ -125,6 +170,25 @@ int bin_sweep_batch(const float* pts, int b, int n, int axis_remap,
                        out_xyz + (size_t)s * cells * 3,
                        out_mask + (size_t)s * cells,
                        out_rel + (size_t)s * cells);
+  }
+  return total;
+}
+
+int bin_sweep_table_batch(const float* pts, int b, int n, int axis_remap,
+                          int n_rings, int width, const float* table_deg,
+                          float min_range, float max_range, float sentinel,
+                          float* out_xyz, uint8_t* out_mask, float* out_rel) {
+  const int cells = n_rings * width;
+  int total = 0;
+#ifdef _OPENMP
+#pragma omp parallel for reduction(+ : total) schedule(dynamic)
+#endif
+  for (int s = 0; s < b; ++s) {
+    total += bin_sweep_table(pts + (size_t)s * n * 3, n, axis_remap, n_rings,
+                             width, table_deg, min_range, max_range, sentinel,
+                             out_xyz + (size_t)s * cells * 3,
+                             out_mask + (size_t)s * cells,
+                             out_rel + (size_t)s * cells);
   }
   return total;
 }

@@ -212,3 +212,59 @@ class TestImuDewarp:
                       rel_time=jnp.zeros((2, 5), jnp.float32))
         out = sr.imu_dewarp(sweep, hist, 0.0)
         np.testing.assert_allclose(np.asarray(out.xyz), xyz)
+
+
+class TestRingMappers:
+    def test_pandar40_vendor_table(self):
+        # ring ids must reproduce scanID_pandar40 (lidar_type.h:57-72):
+        # the vendor table lists angles top-down, ring = 39 - vendor index
+        from cooper_mapper_tpu.models import scan_registration as sr
+
+        vendor_desc = np.asarray(sr._PANDAR40_ANGLES)[::-1]  # 6.96 .. -15.444
+        for i, ang in enumerate(vendor_desc):
+            assert int(sr.PANDAR40.ring(np.float32(ang))) == 39 - i
+        # off-grid angles snap to the nearest channel
+        # off-grid angles snap to the nearest channel: 0.0 deg is vendor
+        # index 11 -> ring 39 - 11 = 28
+        assert int(sr.PANDAR40.ring(np.float32(0.05))) == 28
+        assert sr.PANDAR40.n_rings == 40
+
+    def test_linear_mappers(self):
+        from cooper_mapper_tpu.models import scan_registration as sr
+
+        assert int(sr.VLP16.ring(-15.0)) == 0
+        assert int(sr.VLP16.ring(15.0)) == 15
+        assert int(sr.HDL32.ring(-30.67)) == 0
+        assert int(sr.HDL32.ring(10.67)) == 31
+
+
+class TestFeatureDebug:
+    def test_debug_outputs_consistent(self):
+        from cooper_mapper_tpu.config import RegistrationConfig
+
+        world = sim.make_room_world(size=(20.0, 4.0, 24.0), n_pillars=5, seed=4)
+        T = jnp.eye(4).at[1, 3].set(1.5)
+        sweep = sim.scan_sweep(world, T, T, n_rings=16, width=512,
+                               distortion=False)
+        cfg = RegistrationConfig(n_rings=16, max_points_per_ring=512)
+        fc, dbg = features.extract_features_debug(sweep, cfg)
+        fc2 = features.extract_features(sweep, cfg)
+        np.testing.assert_array_equal(np.asarray(fc.sharp.mask),
+                                      np.asarray(fc2.sharp.mask))
+        # grid-shaped internals
+        assert dbg.curvature.shape == (16, 512)
+        assert dbg.status.shape == (16, 512)
+        # the sharp cloud is exactly the picked mask's points
+        assert int(dbg.sharp_picked.sum()) == int(fc.sharp.mask.sum())
+        assert int(dbg.flat_picked.sum()) == int(fc.flat.mask.sum())
+        # labels/status live in their documented enums
+        st = np.unique(np.asarray(dbg.status))
+        assert set(st).issubset({features.BLIND_BLOCK, features.NEAR_BLOCK,
+                                 features.EDGE_BROKEN, features.STATUS_NONE})
+        lb = np.unique(np.asarray(dbg.label))
+        assert set(lb).issubset({features.MESSY, features.CLS_SURFACE_FLAT,
+                                 features.CLS_CORNER_SHARP,
+                                 features.CLS_ONESIDE_FLAT})
+        # region ids: -1 outside the span, within [0, nreg) inside
+        rid = np.asarray(dbg.region_id)
+        assert rid.min() >= -1 and rid.max() < cfg.n_feature_regions

@@ -290,3 +290,33 @@ class TestNativeBinner:
             sweep, RegistrationConfig(n_rings=16, max_points_per_ring=512)
         )
         assert int(fc.less_flat.count()) > 50
+
+
+class TestNativeTableBinner:
+    def test_table_ring_matches_python_mapper(self):
+        from cooper_mapper_tpu.io import native_binner
+        from cooper_mapper_tpu.models import scan_registration as sr
+
+        if not native_binner.table_supported():
+            import pytest
+            pytest.skip("libsweep_binner.so lacks bin_sweep_table")
+        rng = np.random.RandomState(3)
+        n = 8000
+        table = np.asarray(sr._PANDAR40_ANGLES, np.float32)
+        az = rng.uniform(0, 2 * np.pi, n)
+        # sample elevations near (but off) the vendor channel angles
+        elev_deg = table[rng.randint(0, 40, n)] + rng.uniform(-0.12, 0.12, n)
+        elev = np.deg2rad(elev_deg)
+        r = 12.0
+        pts_loam = np.stack(
+            [r * np.cos(elev) * np.cos(az), r * np.sin(elev),
+             r * np.cos(elev) * np.sin(az)], -1,
+        ).astype(np.float32)
+        pts_dev = pts_loam[:, [2, 0, 1]].copy()
+        xyz, mask, rel = native_binner.bin_sweep_table_native(pts_dev, table, 512)
+        assert mask.sum() > 3000
+        got = xyz[mask]
+        va = np.rad2deg(np.arctan2(got[:, 1], np.hypot(got[:, 0], got[:, 2])))
+        rings_native = np.repeat(np.arange(40), mask.sum(1))
+        rings_py = sr.PANDAR40.ring(va)
+        np.testing.assert_array_equal(rings_native, rings_py)

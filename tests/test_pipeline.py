@@ -124,7 +124,16 @@ class TestImuFusion:
         from cooper_mapper_tpu.fusion import imu_queue
 
         sweeps, gt = _simulate(n_sweeps=5)
-        pipe = SlamPipeline(_small_cfg(), mode="mapping")
+        # the UKF corrects only on sweeps with an accepted map solve
+        # (LaserLocalization.cpp:140-166) -> solve every sweep here; the
+        # predict cool-down (tested in test_ukf) would skip this short run
+        import dataclasses as _dc
+
+        from cooper_mapper_tpu.config import UKFConfig
+
+        cfg = _dc.replace(_small_cfg(), mapping_stride=1,
+                          ukf=UKFConfig(cool_time_duration=0.0))
+        pipe = SlamPipeline(cfg, mode="mapping")
         for i, s in enumerate(sweeps):
             stamp = 0.1 * (i + 1)
             stamps = jnp.linspace(stamp - 0.1, stamp, 10)
@@ -158,3 +167,20 @@ def test_stage_timer_accounts_stages():
     assert "a" in rep and "ms/call" in rep
     t.reset()
     assert not t.calls
+
+
+class TestOnlineErrorMatching:
+    def test_nearest_time_not_right_bracket(self):
+        # est stamp 1.4 sits between gt stamps 1 and 2; the reference pairs
+        # with the NEAREST stamp (1), not the right bracket (2)
+        gt_t = np.array([0.0, 1.0, 2.0])
+        gt = np.array([[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0]])
+        est = np.array([[1.0, 0, 0]])
+        stats = evaluation.online_error(est, gt, est_stamp=[1.4], gt_stamp=gt_t)
+        assert stats.maximum < 1e-12  # matched gt[1], not gt[2]
+
+    def test_no_stamp_truncates(self):
+        est = np.zeros((3, 3))
+        gt = np.zeros((5, 3))
+        stats = evaluation.online_error(est, gt)
+        assert stats.n == 3

@@ -258,3 +258,43 @@ class TestPcgSolver:
         out, diag = pg.optimize(graph, cfg)
         assert np.isfinite(float(diag["final_cost"]))
         assert float(diag["final_cost"]) < 0.2 * float(diag["initial_cost"])
+
+
+class TestLoopCandidateGates:
+    def _detector_and_frames(self, loop_cfg):
+        from cooper_mapper_tpu.models.graph import Keyframe, LoopDetector
+        from cooper_mapper_tpu.utils import cloud as cloud_lib
+
+        det = LoopDetector(loop_cfg, ScanMatchConfig())
+        dummy = cloud_lib.empty(8)
+
+        def kf(accum):
+            return Keyframe(0.0, np.eye(4, dtype=np.float32), dummy, dummy, accum)
+
+        return det, kf
+
+    def test_estimated_distance_gate(self):
+        # plan-view SQUARED distance >= estimated_distance_thresh rejects the
+        # candidate even inside the radius (loop_detector.hpp:135-137)
+        cfg = LoopConfig(distance_thresh=50.0, estimated_distance_thresh=25.0,
+                         accum_distance_thresh=10.0, min_loop_interval=0.0)
+        det, kf = self._detector_and_frames(cfg)
+        keyframes = [kf(0.0), kf(1.0), kf(100.0)]
+        est = np.stack([np.eye(4, dtype=np.float32)] * 3)
+        est[0][:3, 3] = [4.0, 0.0, 0.0]    # sq 16 < 25 -> candidate
+        est[1][:3, 3] = [6.0, 0.0, 0.0]    # sq 36 >= 25 -> gated out
+        est[2][:3, 3] = [0.0, 0.0, 0.0]
+        cands = det.find_candidates(keyframes, est, 2)
+        assert cands == [0]
+
+    def test_y_flattened_distance(self):
+        # vertical offset is ignored by the plan-view gate (pos.y = 0,
+        # loop_detector.hpp:98-103)
+        cfg = LoopConfig(distance_thresh=5.0, estimated_distance_thresh=25.0,
+                         accum_distance_thresh=10.0, min_loop_interval=0.0)
+        det, kf = self._detector_and_frames(cfg)
+        keyframes = [kf(0.0), kf(100.0)]
+        est = np.stack([np.eye(4, dtype=np.float32)] * 2)
+        est[0][:3, 3] = [1.0, 40.0, 0.0]   # plan distance 1, y ignored
+        cands = det.find_candidates(keyframes, est, 1)
+        assert cands == [0]

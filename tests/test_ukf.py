@@ -94,17 +94,19 @@ class TestPoseEstimator:
         # after a >5 m jump the filter resets straight to the measurement
         np.testing.assert_allclose(st.ukf.mean[0:3], [100, 0, 0], atol=1e-4)
 
-    def test_velocity_clamp(self):
+    def test_velocity_discard(self):
+        # the reference ZEROES a >30 m/s velocity estimate rather than
+        # clamping it (LaserLocalization.cpp:158-160)
         st = ukf_estimator.create(CFG)
         st = ukf_estimator.correct(
             st, jnp.zeros(3), jnp.array([1000.0, 0, 0]), jnp.array([1.0, 0, 0, 0]), CFG
         )
-        assert float(jnp.linalg.norm(st.ukf.mean[3:6])) <= CFG.max_velocity + 1.0
+        assert float(jnp.linalg.norm(st.ukf.mean[3:6])) < 1.0
 
 
 class TestImuReplay:
     def test_masked_replay(self):
-        st = ukf_estimator.create(CFG)
+        st = ukf_estimator.create(CFG, init_stamp=-10.0)  # warm (past cool-down)
         st.ukf.mean = st.ukf.mean.at[3:6].set(jnp.array([2.0, 0.0, 0.0]))
         stamps = jnp.arange(1, 11, dtype=jnp.float32) * 0.01
         batch = imu_queue.ImuBatch(
@@ -116,6 +118,40 @@ class TestImuReplay:
         out = imu_queue.replay_predict(st, batch, 0.0, 0.05, CFG)
         # only 5 samples applied -> 0.05 s at 2 m/s = 0.1 m
         np.testing.assert_allclose(out.ukf.mean[0], 0.1, atol=0.01)
+
+    def test_predict_cool_down(self):
+        # samples within cool_time_duration of init_stamp leave the filter
+        # untouched (ukf_pose_estimator.hpp:67-71)
+        st = ukf_estimator.create(CFG, init_stamp=0.0)
+        st.ukf.mean = st.ukf.mean.at[3:6].set(jnp.array([2.0, 0.0, 0.0]))
+        stamps = jnp.arange(1, 11, dtype=jnp.float32) * 0.01  # all < 1.0 s
+        batch = imu_queue.ImuBatch(
+            stamp=stamps, acc=jnp.zeros((10, 3)), gyro=jnp.zeros((10, 3)),
+            mask=jnp.ones(10, bool),
+        )
+        cold = imu_queue.replay_predict(st, batch, 0.0, 0.1, CFG)
+        np.testing.assert_allclose(cold.ukf.mean, st.ukf.mean, atol=1e-7)
+        np.testing.assert_allclose(cold.ukf.cov, st.ukf.cov, atol=1e-7)
+        # the same window past the cool-down does move the state
+        late = imu_queue.ImuBatch(
+            stamp=stamps + 2.0, acc=batch.acc, gyro=batch.gyro, mask=batch.mask
+        )
+        warm = imu_queue.replay_predict(st, late, 2.0, 2.1, CFG)
+        assert float(warm.ukf.mean[0]) > 0.05  # 2 m/s * ~0.09 s applied
+
+    def test_cool_down_advances_prev_stamp(self):
+        # a sample skipped by the cool-down must still advance prev_stamp so
+        # the first warm predict does not integrate the whole cold window
+        st = ukf_estimator.create(CFG, init_stamp=0.0)
+        st.ukf.mean = st.ukf.mean.at[3:6].set(jnp.array([1.0, 0.0, 0.0]))
+        stamps = jnp.array([0.5, 1.2], jnp.float32)  # first cold, second warm
+        batch = imu_queue.ImuBatch(
+            stamp=stamps, acc=jnp.zeros((2, 3)), gyro=jnp.zeros((2, 3)),
+            mask=jnp.ones(2, bool),
+        )
+        out = imu_queue.replay_predict(st, batch, 0.0, 1.5, CFG)
+        # dt of the warm step is 1.2-0.5=0.7 (clamped at 0.5), NOT 1.2
+        assert float(out.ukf.mean[0]) <= 0.5 + 1e-4
 
     def test_extrinsic_roundtrip(self):
         st = ukf_estimator.create(CFG, pos=jnp.array([1.0, 2.0, 3.0]))
