@@ -1,0 +1,141 @@
+"""Heterogeneous concurrent sweep solves (BASELINE config 5 realism).
+
+bench.py broadcasts ONE sweep pair across the batch (identical correspondence
+structure, only the initial guesses vary).  This bench builds a batch of
+GENUINELY distinct problems — different worlds (pillar layouts), different
+start poses, different per-problem motions — so every solve races its own
+correspondence structure through the gathers.  This is the honest shape of
+"4096 concurrent sweep solves" (BASELINE.md config 5).
+
+Capacities are snugged to the batch-max valid count (rounded up to 256);
+the un-snugged (sensor-generic extractor bound) number is reported alongside
+(VERDICT round-1 item 8).
+
+Usage: python benchmarks/bench_hetero.py [batch] [n_worlds]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import cooper_mapper_tpu  # noqa: F401
+from cooper_mapper_tpu.config import OdometryConfig, RegistrationConfig
+from cooper_mapper_tpu.io import sim
+from cooper_mapper_tpu.ops import features, odometry as odo_ops
+from cooper_mapper_tpu.utils import cloud as cloud_lib
+
+BASELINE_SOLVES_PER_S = 10.0
+
+
+def build_batch(batch, n_worlds=16, width=1024, n_rings=16, seed=0):
+    """[batch] distinct sweep-pair problems: world w = seed w, per-problem
+    start pose scattered in the room, per-problem motion."""
+    rng = np.random.RandomState(seed)
+    worlds = [sim.make_room_world(seed=w, n_pillars=6) for w in range(n_worlds)]
+    world_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *worlds)
+    widx = jnp.asarray(rng.randint(0, n_worlds, size=batch))
+
+    p0 = np.tile(np.eye(4, dtype=np.float32), (batch, 1, 1))
+    p0[:, 0, 3] = rng.uniform(-8, 8, batch)
+    p0[:, 1, 3] = rng.uniform(1.0, 2.5, batch)
+    p0[:, 2, 3] = rng.uniform(-12, 12, batch)
+    yaw0 = rng.uniform(0, 2 * np.pi, batch)
+    p0[:, 0, 0] = np.cos(yaw0); p0[:, 0, 2] = np.sin(yaw0)
+    p0[:, 2, 0] = -np.sin(yaw0); p0[:, 2, 2] = np.cos(yaw0)
+
+    dyaw = rng.uniform(-0.05, 0.05, batch).astype(np.float32)
+    fwd = rng.uniform(0.1, 0.5, batch).astype(np.float32)
+    step = np.tile(np.eye(4, dtype=np.float32), (batch, 1, 1))
+    step[:, 0, 0] = np.cos(dyaw); step[:, 0, 2] = np.sin(dyaw)
+    step[:, 2, 0] = -np.sin(dyaw); step[:, 2, 2] = np.cos(dyaw)
+    step[:, 2, 3] = fwd
+    p1 = np.einsum("bij,bjk->bik", p0, step)
+    p2 = np.einsum("bij,bjk->bik", p1, step)
+
+    cfg_reg = RegistrationConfig(n_rings=n_rings, max_points_per_ring=width)
+
+    def one_problem(args):
+        wi, a, b, c = args
+        w = jax.tree.map(lambda x: x[wi], world_stack)
+        s_prev = sim.scan_sweep(w, a, b, n_rings=n_rings, width=width)
+        s_cur = sim.scan_sweep(w, b, c, n_rings=n_rings, width=width)
+        f_prev = features.extract_features(s_prev, cfg_reg)
+        f_cur = features.extract_features(s_cur, cfg_reg)
+        return (f_cur.sharp, f_cur.flat, f_prev.less_sharp, f_prev.less_flat)
+
+    # generate in chunks: the ray-cast intermediate is [chunk, R, W, M]
+    chunk = min(64, batch)
+    pad = (-batch) % chunk
+
+    def padded(a):
+        a = np.asarray(a)
+        reps = np.resize(np.arange(batch), batch + pad)
+        return jnp.asarray(a[reps])
+
+    args = (padded(widx), padded(p0), padded(p1), padded(p2))
+    args = jax.tree.map(lambda a: a.reshape((-1, chunk) + a.shape[1:]), args)
+    out = jax.lax.map(lambda a: jax.vmap(one_problem)(a), args)
+    out = jax.tree.map(
+        lambda a: a.reshape((-1,) + a.shape[2:])[:batch], out
+    )
+    return out
+
+
+def snug_batch(c, granule=256):
+    """Compact every problem and truncate to the batch-max count."""
+    n = int(jnp.max(jnp.sum(c.mask, axis=-1)))
+    cap = -(-n // granule) * granule
+    return jax.vmap(lambda ci: cloud_lib.compact(ci, cap))(c)
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    n_worlds = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    cfg = OdometryConfig()
+
+    t0 = time.time()
+    sharp, flat, ref_c, ref_s = build_batch(batch, n_worlds)
+    raw_caps = (sharp.capacity, flat.capacity, ref_c.capacity, ref_s.capacity)
+    sharp, flat, ref_c, ref_s = (
+        snug_batch(sharp), snug_batch(flat), snug_batch(ref_c), snug_batch(ref_s)
+    )
+    jax.block_until_ready(sharp.xyz)
+    gen_s = time.time() - t0
+
+    rng = np.random.RandomState(0)
+    solve = jax.jit(
+        lambda a, b, c, d, x: odo_ops.batch_odometry_solve(a, b, c, d, x, cfg)[0]
+    )
+    x0 = jnp.asarray(0.02 * rng.randn(batch, 6), jnp.float32)
+    xs = solve(sharp, flat, ref_c, ref_s, x0)
+    jax.block_until_ready(xs)
+
+    reps = 5
+    dts = []
+    for _ in range(reps):
+        x0r = jnp.asarray(0.02 * rng.randn(batch, 6), jnp.float32)
+        t0 = time.perf_counter()
+        jax.device_get(solve(sharp, flat, ref_c, ref_s, x0r))
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
+
+    print({
+        "batch": batch,
+        "n_worlds": n_worlds,
+        "generation_s": round(gen_s, 1),
+        "capacities_unsnug": raw_caps,
+        "capacities_snug": (sharp.capacity, flat.capacity,
+                            ref_c.capacity, ref_s.capacity),
+        "hetero_solves_per_s": round(batch / dt, 1),
+        "vs_baseline_10hz": round(batch / dt / BASELINE_SOLVES_PER_S, 1),
+    })
+
+
+if __name__ == "__main__":
+    main()

@@ -258,6 +258,11 @@ class PipelineConfig:
     loop: LoopConfig = LoopConfig()
     pose_graph: PoseGraphConfig = PoseGraphConfig()
     mapping_stride: int = 2   # mapping every Nth sweep (rate decoupling)
+    # run the pose-graph backend in-loop: mapping outputs are gated into
+    # keyframes, loops are detected/optimized, and the odom->graph correction
+    # is applied to the reported trajectory (the Graph node riding the
+    # mapping output, graph.cpp:301-378)
+    enable_graph: bool = False
 
 
 # Per-sensor presets mirroring the launch-file parameter sets

@@ -107,7 +107,7 @@ def ray_cast(world: PlaneWorld, origins, directions, max_range=150.0):
     return jnp.where(hit, tmin, max_range), hit
 
 
-@partial(jax.jit, static_argnames=("n_rings", "width", "distortion"))
+@partial(jax.jit, static_argnames=("n_rings", "width", "distortion", "noise"))
 def scan_sweep(
     world: PlaneWorld,
     pose_start,        # [4,4] sensor pose at sweep start (sensor->world)

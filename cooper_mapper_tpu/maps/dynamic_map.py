@@ -45,6 +45,10 @@ class DynamicFeatureMap:
     on_disk: Dict[Key, bool] = dataclasses.field(default_factory=dict)
     prev_center: Optional[np.ndarray] = None
     pager: Optional["native_pager.CubePager"] = None
+    # lifetime paging counters (the reference's destructor-report style
+    # accounting, SURVEY.md §4 item 4)
+    n_flushed: int = 0
+    n_loaded: int = 0
 
     @classmethod
     def create(cls, cfg: MapConfig, directory: str,
@@ -164,6 +168,7 @@ class DynamicFeatureMap:
             else:
                 pcd.write_pcd(self._cube_file(key, type_id), pts)
             self.on_disk[key] = True
+            self.n_flushed += 1
         self._save_manifest()
 
     def _flush_all_occupied(self) -> None:
@@ -214,6 +219,7 @@ class DynamicFeatureMap:
                         loaded[(key, t)] = np.zeros((0, 3), np.float32)
         for key in keys:
             self._insert_loaded(loaded.get((key, 0)), loaded.get((key, 1)))
+            self.n_loaded += 1
 
     def _insert_loaded(self, corner_xyz, surf_xyz) -> None:
         """Insert disk-loaded points at FIXED capacities (one jit shape)."""

@@ -215,6 +215,45 @@ def _surround_offsets(cfg: MapConfig):
     return np.array(offs, np.int32)
 
 
+def _vfov_mask(offs, sensor_pos, cfg: MapConfig):
+    """Vertical-FOV cube cull (InVerticalFov, DynamicFeatureMap.h:748-777).
+
+    Per the reference, each of a cube's 8 corners gets an elevation angle
+    (90 deg minus the angle to the sensor's up direction) measured from the
+    sensor's fractional position within its own cube, all in cube-index
+    units; a cube is outside the FOV when ALL 8 corners lie above the +up
+    edge or all below the -down edge.  The reference computes exactly these
+    counts but ships with the exclusion commented out
+    (``// upNum == 8 || downNum == 8``, DynamicFeatureMap.h:774) — enabling
+    ``vfov_up_deg``/``vfov_down_deg`` in MapConfig activates the intended
+    cull here.  The sensor's own cube is always kept (:795).
+    """
+    center = world_to_cube(sensor_pos, cfg)
+    frac = sensor_pos / cfg.cube_size - center.astype(jnp.float32)   # [3]
+    d = jnp.array([-0.5, 0.5], jnp.float32)
+    corners = jnp.stack(jnp.meshgrid(d, d, d, indexing="ij"), -1).reshape(8, 3)
+    v = offs.astype(jnp.float32)[:, None, :] + corners[None] - frac  # [A,8,3]
+    elev = jnp.rad2deg(
+        jnp.arcsin(v[..., 1] / jnp.linalg.norm(v, axis=-1))
+    )                                                                 # [A,8]
+    up_all = jnp.all(elev >= cfg.vfov_up_deg, axis=-1)
+    down_all = jnp.all(elev <= -cfg.vfov_down_deg, axis=-1)
+    own = jnp.all(offs == 0, axis=-1)
+    return own | ~(up_all | down_all)
+
+
+def _active_cube_slots(state: FeatureMapState, sensor_pos, cfg: MapConfig):
+    """(flat slot [A], active mask [A]) for the surround neighborhood —
+    static distance-culled offsets + in-grid check + optional vertical-FOV
+    cull (computeActiveAera, FeatureMap.h:308-352 / DynamicFeatureMap.h:779)."""
+    offs = jnp.asarray(_surround_offsets(cfg))            # [A, 3]
+    center = world_to_cube(sensor_pos, cfg)
+    flat, ok = _grid_index(center[None, :] + offs, state.origin, cfg)  # [A]
+    if cfg.vfov_up_deg > 0.0 or cfg.vfov_down_deg > 0.0:
+        ok = ok & _vfov_mask(offs, sensor_pos, cfg)
+    return flat, ok
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def get_surround(state: FeatureMapState, sensor_pos, cfg: MapConfig):
     """Gather active cubes around the sensor into (corner, surf) Clouds.
@@ -222,11 +261,7 @@ def get_surround(state: FeatureMapState, sensor_pos, cfg: MapConfig):
     The fixed offset neighborhood replaces computeActiveAera's per-corner
     150 m check; out-of-grid slots contribute nothing.
     """
-    nx, ny, nz = cfg.n_cubes
-    nc = nx * ny * nz
-    offs = jnp.asarray(_surround_offsets(cfg))            # [A, 3]
-    center = world_to_cube(sensor_pos, cfg)
-    flat, ok = _grid_index(center[None, :] + offs, state.origin, cfg)  # [A]
+    flat, ok = _active_cube_slots(state, sensor_pos, cfg)
     flat = jnp.where(ok, flat, 0)
 
     def gather(cc: CubeCloud, capacity):
@@ -248,13 +283,13 @@ def get_surround(state: FeatureMapState, sensor_pos, cfg: MapConfig):
 def dedup_active(state: FeatureMapState, sensor_pos, cfg: MapConfig) -> FeatureMapState:
     """Voxel re-deduplicate the cubes around the sensor (downsizeValidCloud).
 
-    Applied periodically by the mapping pipeline to bound cube growth.
+    Applied periodically by the mapping pipeline to bound cube growth
+    (the reference runs it every mapping pass over the same vfov-culled
+    active set, FeatureMap.h:289-306 / DynamicFeatureMap.h:718-735).
     """
     nx, ny, nz = cfg.n_cubes
     nc = nx * ny * nz
-    offs = jnp.asarray(_surround_offsets(cfg))
-    center = world_to_cube(sensor_pos, cfg)
-    flat, ok = _grid_index(center[None, :] + offs, state.origin, cfg)
+    flat, ok = _active_cube_slots(state, sensor_pos, cfg)
     flat = jnp.where(ok, flat, nc)  # out-of-grid -> guard row
 
     def process(cc: CubeCloud, leaf):

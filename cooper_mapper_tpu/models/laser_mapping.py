@@ -79,9 +79,14 @@ def _to_world(c: Cloud, T) -> Cloud:
 class MappingOutput:
     W: jax.Array              # corrected world pose after the solve
     result: sm.ScanMatchResult
+    # downsampled frame stacks in the sensor frame — the reference publishes
+    # these as /laser_cloud_{corner,surf}_last2, which the Graph node ingests
+    # as keyframe clouds (LaserMatcher.cpp:357-383, graph.cpp:301-312)
+    corner_ds: Cloud
+    surf_ds: Cloud
 
 
-@partial(jax.jit, static_argnames=("sm_cfg", "matcher_cfg", "map_cfg"))
+@partial(jax.jit, static_argnames=("sm_cfg", "matcher_cfg", "map_cfg", "recenter"))
 def mapping_step(
     matcher: MatcherState,
     map_state: fm.FeatureMapState,
@@ -91,8 +96,14 @@ def mapping_step(
     sm_cfg: ScanMatchConfig,
     matcher_cfg: MatcherConfig,
     map_cfg: MapConfig,
+    recenter: bool = True,
 ):
     """Full LaserMapping step against the cube-grid map.
+
+    ``recenter=False`` skips the in-jit recentring — the dynamic (out-of-core)
+    pipeline mode recenters on the host inside DynamicFeatureMap.page(),
+    which must flush departing cubes to disk BEFORE the roll invalidates them
+    (DynamicFeatureMap.h:504-677).
 
     Returns (matcher', map_state', MappingOutput).
     """
@@ -101,7 +112,8 @@ def mapping_step(
     corner_ds, surf_ds = prepare_frame(corner, surf, matcher_cfg)
 
     sensor_pos = T_guess[:3, 3]
-    map_state = fm.recenter(map_state, sensor_pos, map_cfg)
+    if recenter:
+        map_state = fm.recenter(map_state, sensor_pos, map_cfg)
     ref_corner, ref_surf = fm.get_surround(map_state, sensor_pos, map_cfg)
 
     res = sm.scan_match(
@@ -114,7 +126,9 @@ def mapping_step(
     )
 
     matcher_new = MatcherState(L_last=L_now, W_last=W_new)
-    return matcher_new, map_state, MappingOutput(W=W_new, result=res)
+    return matcher_new, map_state, MappingOutput(
+        W=W_new, result=res, corner_ds=corner_ds, surf_ds=surf_ds
+    )
 
 
 @partial(jax.jit, static_argnames=("sm_cfg", "matcher_cfg", "surround_corner",
@@ -145,7 +159,9 @@ def mapping_local_step(
         map_state, _to_world(corner_ds, W_new), _to_world(surf_ds, W_new), W_new
     )
     matcher_new = MatcherState(L_last=L_now, W_last=W_new)
-    return matcher_new, map_state, MappingOutput(W=W_new, result=res)
+    return matcher_new, map_state, MappingOutput(
+        W=W_new, result=res, corner_ds=corner_ds, surf_ds=surf_ds
+    )
 
 
 @partial(jax.jit, static_argnames=("sm_cfg", "matcher_cfg", "map_cfg"))
@@ -174,7 +190,9 @@ def localization_step(
     W_new = jnp.where(res.success, twist.to_mat(res.x), T_guess)
 
     matcher_new = MatcherState(L_last=L_now, W_last=W_new)
-    return matcher_new, MappingOutput(W=W_new, result=res)
+    return matcher_new, MappingOutput(
+        W=W_new, result=res, corner_ds=corner_ds, surf_ds=surf_ds
+    )
 
 
 def seed_localization(matcher: MatcherState, pose, L_now) -> MatcherState:

@@ -36,6 +36,11 @@ class SweepResult:
     mapped_pose: Optional[np.ndarray]  # pose after a mapping solve, if one ran
     mapping_success: Optional[bool]
     odom_matched: int
+    # graph-corrected pose (/aft_graph_to_init): T_odom2graph applied to the
+    # merged pose (graph.cpp:368-378); None when the graph is disabled
+    graph_pose: Optional[np.ndarray] = None
+    new_keyframe: bool = False
+    loop_closed: bool = False
 
 
 class SlamPipeline:
@@ -54,11 +59,33 @@ class SlamPipeline:
         r = cfg.registration
         self.odo = laser_odometry.create(r.max_less_sharp, r.max_less_flat)
         self.matcher = laser_mapping.create_matcher()
-        if mode in ("mapping", "localization"):
+        # out-of-core map: the pipeline's dynamicMode switch
+        # (LaserMatcher.cpp:107-118) — the device window is still a
+        # FeatureMapState; DynamicFeatureMap adds the host paging ledger
+        self.dynamic = mode == "mapping" and cfg.matcher.dynamic_mode
+        self.dmap = None
+        if self.dynamic:
+            from ..maps import dynamic_map as dyn
+
+            self.dmap = dyn.DynamicFeatureMap.create(
+                cfg.feature_map, cfg.matcher.map_directory
+            )
+            self.map_state = self.dmap.state
+        elif mode in ("mapping", "localization"):
             self.map_state = map_state if map_state is not None else fm.create(cfg.feature_map)
         else:
             self.map_state = lm.create(64, cfg.matcher.max_frame_corner,
                                        cfg.matcher.max_frame_surf)
+        # pose-graph backend riding the mapping output (graph.cpp:301-378)
+        self.graph = None
+        if cfg.enable_graph:
+            from . import graph as graph_mod
+
+            self.graph = graph_mod.GraphSlam(
+                cfg.keyframe, cfg.loop, cfg.pose_graph, cfg.scan_match
+            )
+        self.graph_trajectory: list[np.ndarray] = []
+        self._mapping_count = 0
         if initial_pose is not None:
             T0 = jnp.asarray(initial_pose, jnp.float32)
             self.matcher = laser_mapping.MatcherState(
@@ -115,13 +142,26 @@ class SlamPipeline:
 
         mapped_pose = None
         mapping_success = None
+        mo = None
         if (self._sweep_idx % max(cfg.mapping_stride, 1)) == 0 or self._sweep_idx <= 2:
             with self.timer.stage(f"mapping[{self.mode}]", sync=lambda: mo.W):
                 if self.mode == "mapping":
+                    if self.dynamic:
+                        # page BEFORE the solve: flush departing cubes to
+                        # disk, recenter the window on the host, prefetch
+                        # entering cubes (update(), DynamicFeatureMap.h:504-677)
+                        with self.timer.stage("paging"):
+                            T_guess = np.asarray(
+                                laser_mapping.merged_pose(self.matcher, L_now)
+                            )
+                            self.dmap.state = self.map_state
+                            self.dmap.page(T_guess[:3, 3])
+                            self.map_state = self.dmap.state
                     self.matcher, self.map_state, mo = laser_mapping.mapping_step(
                         self.matcher, self.map_state,
                         odo_out.corner_for_map, odo_out.surf_for_map, L_now,
                         cfg.scan_match, cfg.matcher, cfg.feature_map,
+                        recenter=not self.dynamic,
                     )
                 elif self.mode == "local":
                     self.matcher, self.map_state, mo = laser_mapping.mapping_local_step(
@@ -137,8 +177,43 @@ class SlamPipeline:
                     )
             mapped_pose = np.asarray(mo.W)
             mapping_success = bool(mo.result.success)
+            self._mapping_count += 1
+            # in-loop map hygiene: re-voxelize the active cubes so long runs
+            # never saturate cube capacity (downsizeValidCloud runs every
+            # mapping pass in the reference, FeatureMap.h:289-306; the stride
+            # amortizes the gather/scatter)
+            ds = cfg.matcher.dedup_stride
+            if (
+                self.mode == "mapping" and ds > 0
+                and self._mapping_count % ds == 0
+            ):
+                with self.timer.stage("dedup", sync=lambda: self.map_state.surf.count):
+                    self.map_state = fm.dedup_active(
+                        self.map_state, mo.W[:3, 3], cfg.feature_map
+                    )
+                if self.dynamic:
+                    self.dmap.state = self.map_state
 
         merged = np.asarray(laser_mapping.merged_pose(self.matcher, L_now))
+
+        # ---- pose-graph backend (Graph node, graph.cpp:301-378) -----------
+        graph_pose = None
+        new_keyframe = False
+        loop_closed = False
+        if self.graph is not None:
+            if mo is not None and (mapping_success or len(self.graph.keyframes) == 0):
+                with self.timer.stage("graph"):
+                    kf_stamp = (
+                        stamp if stamp is not None
+                        else self._sweep_idx * cfg.registration.scan_period
+                    )
+                    new_keyframe = self.graph.add_frame(
+                        kf_stamp, np.asarray(mo.W), mo.corner_ds, mo.surf_ds
+                    )
+                    if new_keyframe:
+                        loop_closed = self.graph.detect_and_optimize() is not None
+            graph_pose = (self.graph.T_odom2graph @ merged).astype(np.float32)
+            self.graph_trajectory.append(graph_pose)
 
         # ---- UKF fusion: replay IMU predicts, correct with the solve ------
         if imu is not None and stamp is not None:
@@ -180,7 +255,25 @@ class SlamPipeline:
             mapped_pose=mapped_pose,
             mapping_success=mapping_success,
             odom_matched=int(odo_out.n_matched),
+            graph_pose=graph_pose,
+            new_keyframe=new_keyframe,
+            loop_closed=loop_closed,
         )
+
+    def corrected_trajectory(self) -> np.ndarray:
+        """The graph-corrected trajectory so far: every merged pose re-read
+        through the CURRENT odom->graph correction (what the reference's
+        /aft_graph_to_init converges to after its last optimize)."""
+        if self.graph is None:
+            return np.stack(self.trajectory)
+        T = self.graph.T_odom2graph
+        return np.stack([T @ p for p in self.trajectory]).astype(np.float32)
+
+    def save_map(self) -> None:
+        """Flush the out-of-core map to disk (dynamic mode only)."""
+        if self.dynamic:
+            self.dmap.state = self.map_state
+            self.dmap.save()
 
     # ---- fusion outputs ---------------------------------------------------
 

@@ -78,17 +78,31 @@ def _tzyx_rotation_rows(srx, crx, sry, cry, srz, crz, points, coeff_dir):
     return arx, ary, arz
 
 
-def _reference_jacobian_rows(x, points, coeff_dir):
+def _reference_jacobian_rows(x, points, coeff_dir, port_typo: bool = False):
     """The reference's closed-form Jacobian at s=1 (LaserOdometry.cpp:557-575).
 
     The same rows as the exact map-warp Jacobian d(Rz Ry Rx p + t)/d(params)
     dotted with coeff — the reference applies it to the start-warp too.
+
+    ``port_typo=True`` reproduces the reference's missing-parenthesis quirk
+    in the arz row: its coeff.y term reads ``... + crz*sry*crx +
+    srz*srx*pointOri.z`` (LaserOdometry.cpp:567, identically in
+    ScanMatch.cpp:194), i.e. the ``crz*sry*crx`` product is NOT multiplied
+    by pointOri.z — where the commented-out original (and the correct
+    derivative) has ``(crz*sry*crx + srz*srx) * pointOri.z``.  The typo adds
+    a constant ``crz*sry*crx*(1 - pz)`` per row; near identity (sry ~ 0) it
+    vanishes, which is why the reference converges anyway.  Used by
+    parity_mode for bit-faithful iteration dynamics.
     """
+    srx, crx = jnp.sin(x[0]), jnp.cos(x[0])
+    sry, cry = jnp.sin(x[1]), jnp.cos(x[1])
+    srz, crz = jnp.sin(x[2]), jnp.cos(x[2])
     arx, ary, arz = _tzyx_rotation_rows(
-        jnp.sin(x[0]), jnp.cos(x[0]), jnp.sin(x[1]), jnp.cos(x[1]),
-        jnp.sin(x[2]), jnp.cos(x[2]), points, coeff_dir,
+        srx, crx, sry, cry, srz, crz, points, coeff_dir,
     )
     cx, cy, cz = coeff_dir[..., 0], coeff_dir[..., 1], coeff_dir[..., 2]
+    if port_typo:
+        arz = arz + (crz * sry * crx) * (1.0 - points[..., 2]) * cy
     return jnp.stack([arx, ary, arz, cx, cy, cz], axis=-1)
 
 
@@ -177,8 +191,10 @@ def odometry_solve(
         ok_s = w_ok_s & corr.ok_s
 
         if parity_mode:
-            J_c = _reference_jacobian_rows(st.x, sharp.xyz, dir_c)
-            J_s = _reference_jacobian_rows(st.x, flat.xyz, dir_s)
+            # port_typo: the reference's missing-parenthesis arz quirk
+            # (LaserOdometry.cpp:567) — bit-faithful iteration dynamics
+            J_c = _reference_jacobian_rows(st.x, sharp.xyz, dir_c, port_typo=True)
+            J_s = _reference_jacobian_rows(st.x, flat.xyz, dir_s, port_typo=True)
             scale = cfg.residual_scale
         else:
             J_c = _exact_jacobian_rows(st.x, sharp.xyz, sharp.rel_time, dir_c)
@@ -200,6 +216,9 @@ def odometry_solve(
             cfg.delta_r_abort,
             cfg.delta_t_abort,
             cfg.min_matched,
+            # parity uses the Eigen port's row-zeroing projector
+            # (matV.inverse() @ matV_rows_zeroed, LaserOdometry.cpp:583-608)
+            reference_mode=parity_mode,
             trust_region_t=0.0 if parity_mode else cfg.trust_region_t,
             trust_region_r=0.0 if parity_mode else cfg.trust_region_r,
             min_converge_iter=0 if parity_mode else cfg.min_converge_iter,

@@ -1,0 +1,288 @@
+"""Literal numpy transcription of the reference odometry solve.
+
+A golden-parity oracle for ``LaserOdometry::scanMatch``
+(/root/reference/L_SLAM/src/odometry/LaserOdometry.cpp:328-647) plus its
+residual kernels (feature_utils.h:17-95) and warp (transformToStart,
+LaserOdometry.cpp:135-142): per-point python loops, the exact iteration
+schedule (correspondence refresh at iterCount % 5 == 0), the s=1 closed-form
+Jacobian INCLUDING the port's missing-parenthesis arz quirk
+(LaserOdometry.cpp:567), the -0.05 residual under-relaxation (:575), the
+iteration-0 prefix-break row-zeroing degeneracy projector (:583-608), NaN
+scrubbing (:622-634), and the deltaR/deltaT break (:636-644).
+
+tests/test_parity_golden.py asserts that ``ops.odometry.odometry_solve`` with
+``parity_mode=True`` reproduces this trace iteration by iteration.
+
+Everything is float64 numpy — the oracle asserts the *dynamics*, not f32
+rounding; tolerances in the test cover summation-order differences.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+
+def tzyx_apply(rx, ry, rz, tx, ty, tz, p):
+    """p' = Rz(rz) Ry(ry) Rx(rx) p + t  (convertTransform ->
+    getTransformationTZYX, transform_utils.h:288-311)."""
+    sx, cx = np.sin(rx), np.cos(rx)
+    sy, cy = np.sin(ry), np.cos(ry)
+    sz, cz = np.sin(rz), np.cos(rz)
+    R = np.array(
+        [
+            [cz * cy, cz * sy * sx - sz * cx, cz * sy * cx + sz * sx],
+            [sz * cy, sz * sy * sx + cz * cx, sz * sy * cx - cz * sx],
+            [-sy, cy * sx, cy * cx],
+        ]
+    )
+    return R @ p + np.array([tx, ty, tz])
+
+
+def transform_to_start(x, p, s):
+    """transformToStart (LaserOdometry.cpp:135-142): TZYX(s * x) p."""
+    t = s * x
+    return tzyx_apply(t[0], t[1], t[2], t[3], t[4], t[5], p)
+
+
+# ---- correspondence walks (LaserOdometry.cpp:355-497) ----------------------
+# The reference's kd-tree 1-NN is exact, so argmin over the cloud is the
+# same; the B/C partner walks are literal index walks over the ring-major
+# cloud with the +/-2.5-ring break conditions.
+
+
+def corner_search(point_sel, ref_xyz, ref_ring):
+    """(ind1, ind2): nearest corner + nearest corner on a DIFFERENT ring
+    within +/-2.5 rings (LaserOdometry.cpp:358-408)."""
+    d_all = np.sum((ref_xyz - point_sel) ** 2, axis=1)
+    closest = int(np.argmin(d_all))
+    if d_all[closest] >= 25.0:
+        return -1, -1
+    ring_a = int(ref_ring[closest])
+    min2, ind2 = 25.0, -1
+    for j in range(closest + 1, len(ref_xyz)):
+        if int(ref_ring[j]) > ring_a + 2.5:
+            break
+        if int(ref_ring[j]) > ring_a and d_all[j] < min2:
+            min2, ind2 = d_all[j], j
+    for j in range(closest - 1, -1, -1):
+        if int(ref_ring[j]) < ring_a - 2.5:
+            break
+        if int(ref_ring[j]) < ring_a and d_all[j] < min2:
+            min2, ind2 = d_all[j], j
+    return closest, ind2
+
+
+def surf_search(point_sel, ref_xyz, ref_ring):
+    """(ind1, ind2, ind3): nearest surf + same-ring partner + different-ring
+    partner (LaserOdometry.cpp:421-483)."""
+    d_all = np.sum((ref_xyz - point_sel) ** 2, axis=1)
+    closest = int(np.argmin(d_all))
+    if d_all[closest] >= 25.0:
+        return -1, -1, -1
+    ring_a = int(ref_ring[closest])
+    min2, ind2 = 25.0, -1
+    min3, ind3 = 25.0, -1
+    for j in range(closest + 1, len(ref_xyz)):
+        if int(ref_ring[j]) > ring_a + 2.5:
+            break
+        if int(ref_ring[j]) <= ring_a:
+            if d_all[j] < min2:
+                min2, ind2 = d_all[j], j
+        else:
+            if d_all[j] < min3:
+                min3, ind3 = d_all[j], j
+    for j in range(closest - 1, -1, -1):
+        if int(ref_ring[j]) < ring_a - 2.5:
+            break
+        if int(ref_ring[j]) >= ring_a:
+            if d_all[j] < min2:
+                min2, ind2 = d_all[j], j
+        else:
+            if d_all[j] < min3:
+                min3, ind3 = d_all[j], j
+    return closest, ind2, ind3
+
+
+# ---- residual kernels (feature_utils.h:17-95) -------------------------------
+
+
+def corner_coefficients(A, B, X, iteration):
+    """getCornerFeatureCoefficients (feature_utils.h:42-61)."""
+    cr = np.cross(X - B, X - A)
+    cr_norm = np.linalg.norm(cr)
+    ab = np.linalg.norm(A - B)
+    direction = -np.cross(cr, B - A) / (cr_norm * ab)
+    distance = cr_norm / ab
+    weight = 1.0
+    if iteration >= 5:
+        weight = 1.0 - 1.8 * abs(distance)
+    coeff = direction * weight
+    intensity = distance * weight
+    return coeff, intensity, (weight > 0.1 and distance != 0.0)
+
+
+def surf_coefficients(A, B, C, X, iteration):
+    """getSurfaceFeatureCoefficients (feature_utils.h:77-95)."""
+    n = np.cross(B - A, C - A)
+    n = n / np.linalg.norm(n)
+    signed = np.dot(X - A, n)
+    if signed < 0:                       # cos < 0 flip (feature_utils.h:35-38)
+        n = -n
+    distance = abs(signed)
+    weight = 1.0
+    if iteration >= 5:
+        weight = 1.0 - 1.8 * abs(distance) / np.sqrt(np.linalg.norm(X))
+    coeff = n * weight
+    intensity = distance * weight
+    return coeff, intensity, (weight > 0.1 and distance != 0.0)
+
+
+def jacobian_row(x, point, coeff):
+    """The s=1 closed-form row (LaserOdometry.cpp:512-575) WITH the port's
+    missing-parenthesis arz quirk: the coeff.y term of arz reads
+    ``crz*sry*crx + srz*srx*pz`` — ``crz*sry*crx`` is not multiplied by pz
+    (:567; identically ScanMatch.cpp:194)."""
+    srx, crx = np.sin(x[0]), np.cos(x[0])
+    sry, cry = np.sin(x[1]), np.cos(x[1])
+    srz, crz = np.sin(x[2]), np.cos(x[2])
+    px, py, pz = point
+    cx, cy, cz = coeff
+    arx = (
+        ((crz * sry * crx + srz * srx) * py + (srz * crx - crz * sry * srx) * pz) * cx
+        + ((srz * sry * crx - crz * srx) * py - (srz * sry * srx + crz * crx) * pz) * cy
+        + (cry * crx * py - cry * srx * pz) * cz
+    )
+    ary = (
+        (-crz * sry * px + crz * cry * srx * py + crz * cry * crx * pz) * cx
+        + (-srz * sry * px + srz * cry * srx * py + srz * cry * crx * pz) * cy
+        + (-cry * px - sry * srx * py - sry * crx * pz) * cz
+    )
+    arz = (
+        (-srz * cry * px - (srz * sry * srx + crz * crx) * py
+         + (crz * srx - srz * sry * crx) * pz) * cx
+        + (crz * cry * px + (crz * sry * srx - srz * crx) * py
+           + crz * sry * crx + srz * srx * pz) * cy
+        + 0.0 * cz
+    )
+    return np.array([arx, ary, arz, cx, cy, cz])
+
+
+def degeneracy_projector(AtA, threshold=10.0):
+    """Iteration-0 projector (LaserOdometry.cpp:583-608): ascending
+    eigenvalues, zero ROWS of the eigenvector matrix for the prefix of
+    eigenvalues below threshold (break at the first large one),
+    matP = matV.inverse() @ matV2."""
+    evals, V = np.linalg.eigh(AtA)       # ascending, columns = eigenvectors
+    V2 = V.copy()
+    is_degenerate = False
+    for i in range(6):
+        if evals[i] < threshold:
+            V2[i, :] = 0.0
+            is_degenerate = True
+        else:
+            break
+    return np.linalg.inv(V) @ V2, is_degenerate
+
+
+@dataclasses.dataclass
+class IterationRecord:
+    iteration: int
+    x: np.ndarray                # transform AFTER the update
+    dx: Optional[np.ndarray]     # the applied update (None if skipped)
+    n_selected: int
+    is_degenerate: bool
+    broke: bool                  # deltaR/deltaT convergence break
+
+
+def odometry_scan_match(
+    sharp_xyz, sharp_s, flat_xyz, flat_s,
+    ref_corner_xyz, ref_corner_ring, ref_surf_xyz, ref_surf_ring,
+    x0=None,
+    max_iterations=25,
+    delta_r_abort=0.1,
+    delta_t_abort=0.1,
+    eig_threshold=10.0,
+) -> List[IterationRecord]:
+    """The full scanMatch iteration loop (LaserOdometry.cpp:328-647).
+
+    Reference clouds must be ring-major sorted (ring ascending, azimuth
+    ascending within a ring) — the index walks assume it, exactly as the
+    reference's ring-concatenated clouds guarantee
+    (MultiScanRegistration.cpp:179-190).
+    """
+    x = np.zeros(6) if x0 is None else np.asarray(x0, np.float64).copy()
+    n_sharp, n_flat = len(sharp_xyz), len(flat_xyz)
+    corner_ind1 = np.full(n_sharp, -1, np.int64)
+    corner_ind2 = np.full(n_sharp, -1, np.int64)
+    surf_ind1 = np.full(n_flat, -1, np.int64)
+    surf_ind2 = np.full(n_flat, -1, np.int64)
+    surf_ind3 = np.full(n_flat, -1, np.int64)
+
+    matP = np.eye(6)
+    is_degenerate = False
+    trace: List[IterationRecord] = []
+
+    for it in range(max_iterations):
+        rows, rhs = [], []
+
+        for i in range(n_sharp):
+            point_sel = transform_to_start(x, sharp_xyz[i], sharp_s[i])
+            if it % 5 == 0:
+                corner_ind1[i], corner_ind2[i] = corner_search(
+                    point_sel, ref_corner_xyz, ref_corner_ring
+                )
+            if corner_ind2[i] >= 0:
+                A = ref_corner_xyz[corner_ind1[i]]
+                B = ref_corner_xyz[corner_ind2[i]]
+                coeff, intensity, ok = corner_coefficients(A, B, point_sel, it)
+                if ok:
+                    rows.append(jacobian_row(x, sharp_xyz[i], coeff))
+                    rhs.append(-0.05 * intensity)
+
+        for i in range(n_flat):
+            point_sel = transform_to_start(x, flat_xyz[i], flat_s[i])
+            if it % 5 == 0:
+                surf_ind1[i], surf_ind2[i], surf_ind3[i] = surf_search(
+                    point_sel, ref_surf_xyz, ref_surf_ring
+                )
+            if surf_ind2[i] >= 0 and surf_ind3[i] >= 0:
+                A = ref_surf_xyz[surf_ind1[i]]
+                B = ref_surf_xyz[surf_ind2[i]]
+                C = ref_surf_xyz[surf_ind3[i]]
+                coeff, intensity, ok = surf_coefficients(A, B, C, point_sel, it)
+                if ok:
+                    rows.append(jacobian_row(x, flat_xyz[i], coeff))
+                    rhs.append(-0.05 * intensity)
+
+        n_sel = len(rows)
+        if n_sel < 10:                   # pointSelNum < 10 -> continue (:501)
+            trace.append(IterationRecord(it, x.copy(), None, n_sel,
+                                         is_degenerate, False))
+            continue
+
+        matA = np.stack(rows)
+        matB = np.asarray(rhs)
+        AtA = matA.T @ matA
+        AtB = matA.T @ matB
+        dx = np.linalg.solve(AtA, AtB)
+
+        if it == 0:
+            matP, is_degenerate = degeneracy_projector(AtA, eig_threshold)
+        if is_degenerate:
+            dx = matP @ dx
+
+        x = x + dx
+        x[~np.isfinite(x)] = 0.0         # NaN scrub (:622-634)
+
+        delta_r = np.sqrt(np.sum(np.rad2deg(dx[:3]) ** 2))
+        delta_t = np.sqrt(np.sum((dx[3:] * 100.0) ** 2))
+        broke = delta_r < delta_r_abort and delta_t < delta_t_abort
+        trace.append(IterationRecord(it, x.copy(), dx.copy(), n_sel,
+                                     is_degenerate, broke))
+        if broke:
+            break
+
+    return trace
