@@ -163,6 +163,29 @@ def _race_dist(q_xyz, ref, precision):
     return jnp.where(ref.mask[None, :], d, BIG)
 
 
+def _race_a(q_xyz, ref, precision):
+    """Race A (global nearest): returns (ia [Q], da [Q]).
+
+    Dispatches to the streaming Pallas 1-NN kernel (ops/pallas/nn1.py) on
+    TPU under COOPER_USE_PALLAS=1 — the [Q, M] distance tile then lives only
+    in VMEM — and to the dense fused min/argmin race otherwise.  Selections
+    are identical under the meter-scale acceptance gates (see nn1.py).
+    """
+    import os
+
+    if os.environ.get("COOPER_USE_PALLAS") == "1" and jax.default_backend() == "tpu":
+        from .pallas import nn1 as nn1_mod
+
+        tq = nn1_mod._pick_tile(q_xyz.shape[0], (256, 128))
+        tm = nn1_mod._pick_tile(ref.capacity, (512, 256, 128))
+        if tq and tm:
+            return nn1_mod.nn1_pallas(
+                q_xyz, ref.xyz, ref.mask, tile_q=tq, tile_m=tm
+            )
+    d = _race_dist(q_xyz, ref, precision)
+    return jnp.argmin(d, axis=-1), jnp.min(d, axis=-1)
+
+
 def _chunked_queries(fn, q_xyz, chunk: int):
     """Run a per-query-row search in [chunk, M]-tile pieces via lax.map.
 
@@ -203,9 +226,7 @@ def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
         )
 
     if window:
-        d = _race_dist(q_xyz, ref, precision)
-        ia = jnp.argmin(d, axis=-1)
-        da = jnp.min(d, axis=-1)
+        ia, da = _race_a(q_xyz, ref, precision)
         ring_a = ref.ring[ia]
         idx, wxyz, wring, wmask = _window_candidates(ref, ia, window)
         rd = jnp.abs(wring - ring_a[:, None]).astype(jnp.float32)
@@ -267,9 +288,7 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
         )
 
     if window:
-        d = _race_dist(q_xyz, ref, precision)
-        ia = jnp.argmin(d, axis=-1)
-        da = jnp.min(d, axis=-1)
+        ia, da = _race_a(q_xyz, ref, precision)
         ring_a = ref.ring[ia]
         idx, wxyz, wring, wmask = _window_candidates(ref, ia, window)
         same = wmask & (wring == ring_a[:, None]) & (idx != ia[:, None])

@@ -1,0 +1,137 @@
+"""Streaming 1-NN argmin: the VMEM-resident replacement for the dense race.
+
+The dense formulation (ops/neighbors._race_dist) materializes a [Q, M] f32
+distance tile in HBM per race; at the bench shape [512, 768, 4096] that HBM
+write+read is the measured ~63 ms refresh floor (BENCH.md "Known floor").
+This kernel streams reference tiles through VMEM and carries only the running
+(min, argmin) per query — the [Q, M] tile never exists.  Unlike the gated
+per-ring kernel (nn_ring.py), there is no ring dimension, no 3D masking and
+no unrolled ring loop, so the Mosaic program is tiny (one matmul + two fused
+reductions per tile step) and compiles in seconds, not minutes.
+
+Used for race A of the windowed correspondence searches
+(ops/neighbors.corner_pairs/surf_triples with window > 0): races B/C read a
+``window``-wide candidate strip around A, so A's full race is the only
+[Q, M]-shaped work left in the odometry refresh.
+
+Semantics match ``ops.neighbors.nn1``: squared distances via the
+``||q||^2 - 2 q.r + ||r||^2`` expansion (f32 matmul), ties broken toward the
+smaller reference index (tiles are scanned in index order and merges use
+strict ``<``).  Masking differs only in representation: instead of setting
+masked distances to exactly BIG, invalid points carry ``||r||^2 = BIG`` so
+their distances sit at BIG + O(|q.r|) — never a winner against any real
+candidate under the meter-scale acceptance gates (25 m^2 / 5 m^2), and the
+selected indices/distances for gated-in queries are identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1.0e12
+
+
+def _nn1_kernel(q_ref, qn_ref, r_ref, rn_ref, o_min, o_idx,
+                *, tile_m: int, total_m: int):
+    from jax.experimental import pallas as pl
+
+    q = q_ref[:, :]                       # [TQ, 3]
+    qn = qn_ref[:, :]                     # [TQ, 1]
+    n_tiles = total_m // tile_m
+
+    def tile_body(t, carry):
+        best, bidx = carry                # [TQ, 1] f32, [TQ, 1] i32
+        off = t * tile_m
+        r = r_ref[pl.ds(off, tile_m), :]  # [TM, 3]
+        rn = rn_ref[:, pl.ds(off, tile_m)]  # [1, TM], FAR where invalid
+        d = (
+            qn
+            - 2.0 * jax.lax.dot_general(
+                q, r, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + rn
+        )                                  # [TQ, TM]
+        m = jnp.min(d, axis=-1, keepdims=True)
+        a = off + jnp.argmin(d, axis=-1, keepdims=True).astype(jnp.int32)
+        upd = m < best                    # strict: earlier tile wins ties
+        return jnp.where(upd, m, best), jnp.where(upd, a, bidx)
+
+    init = (
+        jnp.full(o_min.shape, BIG, jnp.float32),
+        jnp.zeros(o_idx.shape, jnp.int32),
+    )
+    best, bidx = jax.lax.fori_loop(0, n_tiles, tile_body, init)
+    o_min[:, :] = best
+    o_idx[:, :] = bidx
+
+
+@functools.partial(jax.jit, static_argnames=("tile_q", "tile_m", "interpret"))
+def nn1_pallas(q_xyz, r_xyz, r_mask, tile_q: int = 256, tile_m: int = 512,
+               interpret: bool = False):
+    """1-NN (idx [Q], sq_dist [Q]) with the distance tile kept in VMEM.
+
+    Q and M must be multiples of the tile sizes (clouds are capacity-padded,
+    so this holds by construction).  Masking rides the ``||r||^2`` term: an
+    invalid point's squared norm is set to BIG, so its distance to every
+    query exceeds any real candidate — cheaper than masking the [TQ, TM]
+    tile (see module docstring for the exact-semantics argument).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q, M = q_xyz.shape[0], r_xyz.shape[0]
+    assert Q % tile_q == 0 and M % tile_m == 0, (Q, M, tile_q, tile_m)
+
+    qn = jnp.sum(q_xyz * q_xyz, axis=-1, keepdims=True)            # [Q, 1]
+    rn = jnp.sum(r_xyz * r_xyz, axis=-1)                           # [M]
+    rn = jnp.where(r_mask, rn, BIG)[None, :]                       # [1, M]
+
+    kernel = functools.partial(_nn1_kernel, tile_m=tile_m, total_m=M)
+    vm = pltpu.VMEM
+    grid = (Q // tile_q,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_q, 3), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((M, 3), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Q, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_xyz, qn, r_xyz, rn)
+    return out[1][:, 0], out[0][:, 0]
+
+
+def _pick_tile(n: int, candidates) -> int:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return 0
+
+
+def nn1(q_xyz, r_xyz, r_mask):
+    """Backend dispatch: Pallas on TPU when COOPER_USE_PALLAS=1, XLA dense
+    race otherwise (see ops/neighbors.nn1 for the dense formulation)."""
+    import os
+
+    from .. import neighbors
+
+    if jax.default_backend() == "tpu" and os.environ.get("COOPER_USE_PALLAS") == "1":
+        tq = _pick_tile(q_xyz.shape[0], (256, 128))
+        tm = _pick_tile(r_xyz.shape[0], (512, 256, 128))
+        if tq and tm:
+            return nn1_pallas(q_xyz, r_xyz, r_mask, tile_q=tq, tile_m=tm)
+    return neighbors.nn1(q_xyz, r_xyz, r_mask)

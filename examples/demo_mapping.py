@@ -49,19 +49,35 @@ def main(n_sweeps: int = 20, out_dir: str = "/tmp/cooper_demo_map"):
         poses.append(poses[-1] @ step)
 
     pipe = SlamPipeline(cfg, mode="mapping")
-    for i in range(n_sweeps):
-        sweep = sim.scan_sweep(
-            world, jnp.asarray(poses[i]), jnp.asarray(poses[i + 1]),
-            n_rings=16, width=1024,
-        )
-        r = pipe.process(sweep)
-        tag = "" if r.mapping_success is None else f"  map_ok={r.mapping_success}"
-        print(f"sweep {i:3d}: pos={np.round(r.merged_pose[:3, 3], 3)}{tag}")
+
+    def drive():
+        for i in range(n_sweeps):
+            sweep = sim.scan_sweep(
+                world, jnp.asarray(poses[i]), jnp.asarray(poses[i + 1]),
+                n_rings=16, width=1024,
+            )
+            r = pipe.process(sweep)
+            tag = "" if r.mapping_success is None else f"  map_ok={r.mapping_success}"
+            print(f"sweep {i:3d}: pos={np.round(r.merged_pose[:3, 3], 3)}{tag}")
+
+    # COOPER_XLA_TRACE=<dir> records an XLA profiler trace of the full run
+    # (TensorBoard profile tab) — the per-kernel view the reference never had
+    trace_dir = os.environ.get("COOPER_XLA_TRACE", "")
+    if trace_dir:
+        from cooper_mapper_tpu.utils.profiling import xla_trace
+        with xla_trace(trace_dir):
+            drive()
+    else:
+        drive()
 
     est = np.stack(pipe.trajectory)
     gt = np.stack([np.linalg.inv(poses[0]) @ p for p in poses[:n_sweeps]])
     stats = evaluation.ate(est[:, :3, 3], gt[:, :3, 3])
     print(f"\nATE rmse: {stats.rmse:.3f} m  mean: {stats.mean:.3f} m  max: {stats.maximum:.3f} m")
+    # per-stage wall-clock attribution (the reference's destructor counters,
+    # SURVEY.md §5); on TPU this is the evidence the full stack runs on-chip
+    print("\nStage timing:")
+    print(pipe.timer.report())
 
     os.makedirs(out_dir, exist_ok=True)
     n = map_io.save_feature_map(pipe.map_state, cfg.feature_map, out_dir)

@@ -1,0 +1,73 @@
+"""Streaming Pallas 1-NN kernel (ops/pallas/nn1.py) vs the dense race.
+
+Runs the kernel in interpreter mode on CPU (tests/conftest.py forces
+JAX_PLATFORMS=cpu); the compiled TPU path is exercised by bench.py under
+COOPER_USE_PALLAS=1.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cooper_mapper_tpu.ops import neighbors
+from cooper_mapper_tpu.ops.pallas import nn1 as nn1_mod
+
+
+def _problem(seed=0, Q=256, M=512, mask_frac=0.15):
+    rng = np.random.RandomState(seed)
+    q = rng.uniform(-10, 10, (Q, 3)).astype(np.float32)
+    r = rng.uniform(-10, 10, (M, 3)).astype(np.float32)
+    mask = rng.rand(M) > mask_frac
+    return jnp.asarray(q), jnp.asarray(r), jnp.asarray(mask)
+
+
+class TestNN1Pallas:
+    def test_matches_dense_race(self):
+        q, r, mask = _problem(0)
+        ia_d, da_d = neighbors.nn1(q, r, mask)
+        ia_p, da_p = nn1_mod.nn1_pallas(q, r, mask, tile_q=128, tile_m=128,
+                                        interpret=True)
+        np.testing.assert_array_equal(np.asarray(ia_p), np.asarray(ia_d))
+        np.testing.assert_allclose(np.asarray(da_p), np.asarray(da_d),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_tie_breaks_toward_smaller_index(self):
+        # duplicate reference points across tile boundaries: winner must be
+        # the smaller index, matching jnp.argmin over the full tile
+        q = jnp.asarray([[1.0, 2.0, 3.0], [0.0, 0.0, 0.0]] * 64, jnp.float32)
+        r = jnp.tile(jnp.asarray([[1.0, 2.0, 3.0]], jnp.float32), (256, 1))
+        mask = jnp.ones(256, bool)
+        ia_p, _ = nn1_mod.nn1_pallas(q, r, mask, tile_q=128, tile_m=128,
+                                     interpret=True)
+        assert int(ia_p[0]) == 0
+
+    def test_masked_points_never_win_within_gate(self):
+        # the single nearest point is masked out -> the kernel must pick the
+        # nearest VALID point, and its distance must match the dense race
+        rng = np.random.RandomState(7)
+        q = jnp.asarray(rng.uniform(-5, 5, (128, 3)), jnp.float32)
+        r = jnp.concatenate([q[:1] + 0.01, jnp.asarray(
+            rng.uniform(-5, 5, (127, 3)), jnp.float32)])
+        mask = jnp.ones(128, bool).at[0].set(False)
+        ia_d, da_d = neighbors.nn1(q, r, mask)
+        ia_p, da_p = nn1_mod.nn1_pallas(q, r, mask, tile_q=128, tile_m=128,
+                                        interpret=True)
+        np.testing.assert_array_equal(np.asarray(ia_p), np.asarray(ia_d))
+        np.testing.assert_allclose(np.asarray(da_p), np.asarray(da_d),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_vmap_batches_cleanly(self):
+        # the batched odometry solve vmaps the search over sweep problems
+        qs, rs, ms = [], [], []
+        for s in range(3):
+            q, r, mask = _problem(seed=10 + s)
+            qs.append(q); rs.append(r); ms.append(mask)
+        qb, rb, mb = jnp.stack(qs), jnp.stack(rs), jnp.stack(ms)
+        f = lambda q, r, m: nn1_mod.nn1_pallas(q, r, m, tile_q=128,
+                                               tile_m=128, interpret=True)
+        ia_b, da_b = jax.vmap(f)(qb, rb, mb)
+        for s in range(3):
+            ia_d, da_d = neighbors.nn1(qs[s], rs[s], ms[s])
+            np.testing.assert_array_equal(np.asarray(ia_b[s]), np.asarray(ia_d))
+            np.testing.assert_allclose(np.asarray(da_b[s]), np.asarray(da_d),
+                                       rtol=1e-5, atol=1e-4)
