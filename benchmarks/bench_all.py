@@ -1,0 +1,134 @@
+"""One-shot TPU bench battery: every BASELINE.md config in one sitting.
+
+Runs each benchmark as a subprocess (fresh backend handle per bench, so one
+hung relay call cannot strand the whole battery), captures the final result
+line, and checkpoints everything to BENCH_BATTERY.json after every step —
+partial results survive a relay outage.
+
+A relay-health probe runs first: if a trivial device reduction takes longer
+than --max-probe-s (default 60 s; healthy is milliseconds warm, ~3 min cold
+including tunnel dial), the battery aborts early with the probe time
+recorded, instead of burning hours against a degraded relay.
+
+Usage:  python benchmarks/bench_all.py [--out BENCH_BATTERY.json]
+                                       [--max-probe-s 60] [--only k1,k2]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (key, argv, extra env, timeout_s)
+STEPS = [
+    ("headline_dense", [sys.executable, "bench.py"], {}, 1500),
+    ("headline_window48", [sys.executable, "bench.py"],
+     {"BENCH_NN_WINDOW": "48"}, 1500),
+    ("headline_window48_pallas", [sys.executable, "bench.py"],
+     {"BENCH_NN_WINDOW": "48", "COOPER_USE_PALLAS": "1"}, 2400),
+    ("scan_to_map_b64", [sys.executable, "benchmarks/bench_scan_match.py", "64"],
+     {}, 1500),
+    ("pose_graph_dense_n256", [sys.executable, "benchmarks/bench_pose_graph.py",
+                               "256", "dense"], {}, 1500),
+    ("pose_graph_pcg_n1024", [sys.executable, "benchmarks/bench_pose_graph.py",
+                              "1024", "pcg"], {}, 1500),
+    ("ukf_fusion_b4096", [sys.executable, "benchmarks/bench_ukf.py", "4096",
+                          "20"], {}, 2400),
+    ("ukf_fusion_b512", [sys.executable, "benchmarks/bench_ukf.py", "512",
+                         "10"], {}, 2400),
+    ("hetero_b256", [sys.executable, "benchmarks/bench_hetero.py", "256"],
+     {}, 2400),
+    ("scaling_tpu_point", [sys.executable, "benchmarks/bench_scaling.py",
+                           "256"], {}, 1500),
+]
+
+
+def probe(max_s: float) -> float:
+    """Time one trivial varied-input device reduction in a subprocess."""
+    code = (
+        "import time,os,numpy as np;t0=time.time();import jax,jax.numpy as jnp;"
+        "x=jnp.asarray(np.random.rand(128,128),jnp.float32);"
+        "print('PROBE_S',time.time()-t0, float(x.sum())>0)"
+    )
+    t0 = time.time()
+    try:
+        r = subprocess.run([sys.executable, "-c", code], cwd=ROOT,
+                           capture_output=True, text=True,
+                           timeout=max_s + 240)
+        out = r.stdout
+    except subprocess.TimeoutExpired:
+        return float("inf")
+    for line in out.splitlines():
+        if line.startswith("PROBE_S"):
+            return float(line.split()[1])
+    return time.time() - t0
+
+
+def run_step(key, argv, env_extra, timeout_s):
+    env = dict(os.environ, **env_extra)
+    t0 = time.time()
+    try:
+        r = subprocess.run(argv, cwd=ROOT, env=env, capture_output=True,
+                           text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {timeout_s}s"}
+    wall = time.time() - t0
+    lines = [l for l in r.stdout.strip().splitlines() if l.strip()]
+    last = lines[-1] if lines else ""
+    rec = {"wall_s": round(wall, 1), "exit": r.returncode}
+    if r.returncode != 0:
+        rec["stderr_tail"] = r.stderr.strip().splitlines()[-5:]
+    try:
+        rec["result"] = json.loads(last)
+    except (json.JSONDecodeError, ValueError):
+        try:
+            import ast
+            rec["result"] = ast.literal_eval(last)
+        except (SyntaxError, ValueError):
+            rec["raw"] = lines[-6:]
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_BATTERY.json"))
+    ap.add_argument("--max-probe-s", type=float, default=60.0)
+    ap.add_argument("--only", default="",
+                    help="comma-separated step keys to run (default: all)")
+    args = ap.parse_args()
+
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
+    print("probing relay health...", flush=True)
+    p = probe(args.max_probe_s)
+    results["_probe_s"] = round(p, 1) if p != float("inf") else "timeout"
+    results["_probe_ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"probe: {results['_probe_s']} s", flush=True)
+    if p > args.max_probe_s:
+        print("relay degraded — aborting battery", flush=True)
+        return 1
+
+    only = set(args.only.split(",")) if args.only else None
+    for key, argv, env_extra, timeout_s in STEPS:
+        if only and key not in only:
+            continue
+        print(f"=== {key} ===", flush=True)
+        rec = run_step(key, argv, env_extra, timeout_s)
+        results[key] = rec
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(rec), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -101,6 +101,16 @@ class OdometryConfig:
     # De-warp + rigid solve caps the gain at ~E[1-s] ~ 0.5.  Ignored in
     # parity_mode (the reference has no such stage)
     cv_dewarp: bool = True
+    # number of de-warp/solve passes: pass k re-de-warps the ORIGINAL clouds
+    # with pass k-1's solved twist and re-solves.  The constant-velocity
+    # prior is exact only at constant motion; under varying yaw rate the
+    # residual in-sweep distortion biases the rigid fit (measured ~0.5 deg
+    # rotation bias per sweep at ~6 deg/sweep yaw on a figure-eight — the
+    # bias mapping then compounds through its map inserts).  A second pass
+    # de-warps with the measured twist instead of the prior, cutting the
+    # rotation bias ~5x at 2x odometry cost.  1 = reference schedule
+    # (LaserOdometry solves once per sweep)
+    dewarp_passes: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,6 +191,17 @@ class MatcherConfig:
     # mapping solve (downsizeValidCloud runs every pass in the reference,
     # FeatureMap.h:289-306; a stride amortizes the gather/scatter cost)
     dedup_stride: int = 4
+    # deliberate deviation: when the scan-match score gate REJECTS a solve,
+    # the reference still commits the solved pose and inserts the frame into
+    # the map at it (ScanMatch returns false but writes transformf,
+    # ScanMatch.cpp:325-346; LaserMapping ignores the bool and
+    # featureMapUpdate inserts unconditionally, LaserMatcher.cpp:327-331,
+    # 349-355) — registering exactly the geometry the gate flagged.  False
+    # (default): fall back to the DEAD-RECKONED merge guess for the pose and
+    # the insert (the treatment LaserLocalization gives the same gate,
+    # LaserLocalization.cpp:140-166); rejected frames then carry at worst
+    # odometry drift, and the map never starves.  True: reference dynamics.
+    commit_rejected_solves: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -119,16 +119,39 @@ def mapping_step(
     res = sm.scan_match(
         corner_ds, surf_ds, ref_corner, ref_surf, twist.from_mat(T_guess), sm_cfg
     )
-    W_new = twist.to_mat(res.x)
-
-    map_state = fm.add_feature_cloud(
-        map_state, _to_world(corner_ds, W_new), _to_world(surf_ds, W_new), map_cfg
+    W_new, map_state = _commit(
+        res, T_guess, map_state, corner_ds, surf_ds, map_cfg, matcher_cfg
     )
 
     matcher_new = MatcherState(L_last=L_now, W_last=W_new)
     return matcher_new, map_state, MappingOutput(
         W=W_new, result=res, corner_ds=corner_ds, surf_ds=surf_ds
     )
+
+
+def _commit(res, T_guess, map_state, corner_ds, surf_ds, map_cfg, matcher_cfg):
+    """Commit the solve into (pose, map) honoring the rejection policy.
+
+    commit_rejected_solves=True reproduces the reference: the solved pose is
+    committed and inserted even when the score gate rejected it
+    (ScanMatch.cpp:325-346 writes transformf on every exit; LaserMapping
+    ignores the returned bool, LaserMatcher.cpp:327-331,349-355).  The
+    default instead falls back to the DEAD-RECKONED merge guess for a
+    rejected solve — the treatment LaserLocalization gives the same gate
+    (LaserLocalization.cpp:140-166) — and inserts the frame at that guess:
+    the map keeps growing (skipping inserts starves it into a rejection
+    spiral), but gate-flagged solve geometry never enters it; rejected
+    frames carry at worst the odometry drift.
+    """
+    if matcher_cfg.commit_rejected_solves:
+        W_new = twist.to_mat(res.x)
+    else:
+        W_new = jnp.where(res.success, twist.to_mat(res.x), T_guess)
+    map_state = fm.add_feature_cloud(
+        map_state, _to_world(corner_ds, W_new), _to_world(surf_ds, W_new),
+        map_cfg,
+    )
+    return W_new, map_state
 
 
 @partial(jax.jit, static_argnames=("sm_cfg", "matcher_cfg", "surround_corner",
@@ -153,7 +176,12 @@ def mapping_local_step(
     res = sm.scan_match(
         corner_ds, surf_ds, ref_corner, ref_surf, twist.from_mat(T_guess), sm_cfg
     )
-    W_new = twist.to_mat(res.x)
+    if matcher_cfg.commit_rejected_solves:
+        W_new = twist.to_mat(res.x)
+    else:
+        # same rejection policy as mapping_step (_commit): dead-reckoned
+        # pose on gate failure, frame still enters the sliding window
+        W_new = jnp.where(res.success, twist.to_mat(res.x), T_guess)
 
     map_state = lm.add_frame(
         map_state, _to_world(corner_ds, W_new), _to_world(surf_ds, W_new), W_new

@@ -77,25 +77,45 @@ def query(grid: BucketGrid, ref_xyz, ref_mask, q_xyz, k: int = 5):
 
     Distances to empty/missing candidates are BIG; the caller's distance
     gate (d[:, -1] < thresh) handles sufficiency exactly.
+
+    Layout note: candidate coordinates are gathered PER COMPONENT as three
+    [Q, 27*cap] planes, never as one [Q, 27*cap, 3] tensor — a trailing
+    xyz dimension lands on the TPU lane axis and is padded 3 -> 128 (42.7x:
+    at surround sizes that single gather was a multi-GB HBM allocation and
+    the cause of an OOM at batch 64).  Same for the 27 cell hashes: computed
+    per static offset, not via a [Q, 27, 3] index tensor.
     """
     cell = grid.cell_size
     bits = grid.hash_bits
     cap = grid.slots.shape[1]
+    Q = q_xyz.shape[0]
+    hmask = (1 << bits) - 1
 
     base = jnp.floor(q_xyz / cell).astype(jnp.int32)        # [Q, 3]
-    offs = jnp.stack(
-        jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), -1
-    ).reshape(-1, 3)                                         # [27, 3]
-    cells = base[:, None, :] + offs[None, :, :]              # [Q, 27, 3]
-    hs = _cell_hash(cells, bits)                             # [Q, 27]
+    bx, by, bz = base[..., 0], base[..., 1], base[..., 2]
+    hs = jnp.stack(
+        [
+            ((bx + ox) * _P1 ^ (by + oy) * _P2 ^ (bz + oz) * _P3) & hmask
+            for ox in (-1, 0, 1)
+            for oy in (-1, 0, 1)
+            for oz in (-1, 0, 1)
+        ],
+        axis=-1,
+    )                                                        # [Q, 27]
 
-    cand = grid.slots[hs].reshape(q_xyz.shape[0], 27 * cap)  # [Q, 27*cap]
+    cand = grid.slots[hs].reshape(Q, 27 * cap)               # [Q, 27*cap]
     valid = cand >= 0
     cand_safe = jnp.where(valid, cand, 0)
-    pts = ref_xyz[cand_safe]                                 # [Q, 27*cap, 3]
+    px = ref_xyz[..., 0][cand_safe]                          # [Q, 27*cap]
+    py = ref_xyz[..., 1][cand_safe]
+    pz = ref_xyz[..., 2][cand_safe]
     ok = valid & ref_mask[cand_safe]
 
-    d = jnp.sum((pts - q_xyz[:, None, :]) ** 2, axis=-1)
+    d = (
+        (px - q_xyz[..., 0, None]) ** 2
+        + (py - q_xyz[..., 1, None]) ** 2
+        + (pz - q_xyz[..., 2, None]) ** 2
+    )
     d = jnp.where(ok, d, BIG)
     neg, pos = jax.lax.top_k(-d, k)
     idx = jnp.take_along_axis(cand_safe, pos, axis=-1)

@@ -33,6 +33,7 @@ import numpy as np
 from ..config import RegistrationConfig
 from ..utils import cloud as cloud_lib
 from ..utils.cloud import Cloud
+from . import eig3
 from .voxel import voxel_downsample
 
 # point status labels (ScanRegistration.h:23-40)
@@ -179,39 +180,62 @@ def scan_status(xyz, mask, cfg: RegistrationConfig):
     return status
 
 
-def _window_stack(xyz, offsets):
-    """Gather shifted copies: [..., W, len(offsets), 3]."""
-    return jnp.stack([_shift_pts(xyz, o) for o in offsets], axis=-2)
-
-
 def classify(xyz, mask, cfg: RegistrationConfig):
     """Two-sided PCA line classification (pointClassify, :547-666).
 
     Returns [..., W] int32 in {MESSY, CLS_SURFACE_FLAT, CLS_CORNER_SHARP,
     CLS_ONESIDE_FLAT}.
+
+    Layout note: the per-point windowed PCA runs entirely on [..., W]
+    component planes (shifted x/y/z copies, six covariance components,
+    closed-form 3x3 eigen-analysis — ops/eig3.py).  Stacking a
+    [..., W, cr+1, 3] window tensor + jnp.linalg.eigh over [..., W, 3, 3]
+    puts the tiny trailing dims on the TPU (sublane, lane) axes — padded
+    (8, 128)/(4, 128), a measured 2 GB HBM allocation for 36 MB of
+    covariances at batch-256 sweeps.
     """
     cr = cfg.curvature_region
+    k = cr + 1
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
 
     def side(offsets):
-        pts = _window_stack(xyz, offsets)               # [..., W, cr+1, 3]
-        centroid = jnp.mean(pts, axis=-2, keepdims=True)
-        a = pts - centroid
-        cov = jnp.einsum("...ki,...kj->...ij", a, a) / (cr + 1)
-        evals, evecs = jnp.linalg.eigh(cov)             # ascending
-        lam0, lam1, lam2 = evals[..., 0], evals[..., 1], evals[..., 2]
-        v = evecs[..., :, 2]                            # principal direction
+        xs = [_shift(x, o, 0.0) for o in offsets]
+        ys = [_shift(y, o, 0.0) for o in offsets]
+        zs = [_shift(z, o, 0.0) for o in offsets]
+        mx = sum(xs) / k
+        my = sum(ys) / k
+        mz = sum(zs) / k
+        ax = [c - mx for c in xs]
+        ay = [c - my for c in ys]
+        az = [c - mz for c in zs]
+        cxx = sum(a * a for a in ax) / k
+        cyy = sum(a * a for a in ay) / k
+        czz = sum(a * a for a in az) / k
+        cxy = sum(a * b for a, b in zip(ax, ay)) / k
+        cxz = sum(a * b for a, b in zip(ax, az)) / k
+        cyz = sum(a * b for a, b in zip(ay, az)) / k
+        lam0, lam1, lam2 = eig3.eigvalsh3(cxx, cxy, cxz, cyy, cyz, czz)
+        vx, vy, vz = eig3.principal_evec3(cxx, cxy, cxz, cyy, cyz, czz, lam2)
         is_line = (lam2 > cfg.classify_eig_ratio12 * lam1) & (
             lam2 > cfg.classify_eig_ratio13 * lam0
         )
-        # max point-line distance inlier check (:591-600)
-        d = jnp.linalg.norm(jnp.cross(a, v[..., None, :]), axis=-1)
-        is_line = is_line & jnp.all(d <= cfg.classify_line_tol, axis=-1)
-        return is_line, v
+        # max point-line distance inlier check (:591-600): |a_j x v| per
+        # window point (v is unit)
+        tol2 = cfg.classify_line_tol * cfg.classify_line_tol
+        for axj, ayj, azj in zip(ax, ay, az):
+            d2 = (
+                (ayj * vz - azj * vy) ** 2
+                + (azj * vx - axj * vz) ** 2
+                + (axj * vy - ayj * vx) ** 2
+            )
+            is_line = is_line & (d2 <= tol2)
+        return is_line, (vx, vy, vz)
 
     line1, v1 = side([-j for j in range(0, cr + 1)])   # p[i], p[i-1], ... p[i-cr]
     line2, v2 = side([+j for j in range(0, cr + 1)])   # p[i], p[i+1], ... p[i+cr]
 
-    diff = _cos_angle(v1, v2)
+    # cos angle of two unit directions (planes)
+    diff = v1[0] * v2[0] + v1[1] * v2[1] + v1[2] * v2[2]
     flat_cond = (diff < np.cos(np.deg2rad(175.0))) | (diff > np.cos(np.deg2rad(5.0)))
     corner_cond = (diff > np.cos(np.deg2rad(135.0))) & (diff < np.cos(np.deg2rad(45.0)))
 

@@ -150,8 +150,7 @@ def _find_correspondences(x, sharp: Cloud, flat: Cloud, last_corner: Cloud,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "parity_mode"))
-def odometry_solve(
+def _odometry_solve_pass(
     sharp: Cloud,
     flat: Cloud,
     last_corner: Cloud,
@@ -160,7 +159,7 @@ def odometry_solve(
     cfg: OdometryConfig = OdometryConfig(),
     parity_mode: bool = False,
 ):
-    """Solve the in-sweep motion twist.  Returns (x [6], GNState diagnostics).
+    """One de-warp/solve pass.  Returns (x [6], GNState diagnostics).
 
     ``x`` parameterizes the sweep motion exactly as the reference ``_transform``
     (see utils/twist.py): warp_to_start(x, p, s) projects a point captured at
@@ -230,15 +229,6 @@ def odometry_solve(
         st, corr = carry
         return step(st, corr, it), corr
 
-    if cfg.nn_window:
-        # windowed B/C search requires azimuth-major reference ordering (a
-        # contiguous index window then covers all rings at nearby azimuths);
-        # sorted once per solve, amortized over every refresh
-        from ..utils import cloud as cloud_lib
-
-        last_corner = cloud_lib.sort_azimuth_major(last_corner)
-        last_surf = cloud_lib.sort_azimuth_major(last_surf)
-
     x_base = None
     if cfg.cv_dewarp and not parity_mode:
         # constant-velocity de-warp: remove the predicted in-sweep motion
@@ -286,6 +276,45 @@ def odometry_solve(
         )
         st = dataclasses.replace(st, x=x_total)
     return st.x, st
+
+
+@partial(jax.jit, static_argnames=("cfg", "parity_mode"))
+def odometry_solve(
+    sharp: Cloud,
+    flat: Cloud,
+    last_corner: Cloud,
+    last_surf: Cloud,
+    x0,
+    cfg: OdometryConfig = OdometryConfig(),
+    parity_mode: bool = False,
+):
+    """Solve the in-sweep motion twist.  Returns (x [6], GNState diagnostics).
+
+    With ``cfg.dewarp_passes > 1`` (cv_dewarp only), pass k re-de-warps the
+    ORIGINAL clouds with pass k-1's solved twist and re-solves: the
+    constant-velocity prior is exact only at constant motion, and under a
+    varying yaw rate the residual in-sweep distortion biases the rigid fit
+    (see OdometryConfig.dewarp_passes).  Correspondence schedule per pass
+    matches the reference (LaserOdometry.cpp:358).
+    """
+    if cfg.nn_window:
+        # windowed B/C search requires azimuth-major reference ordering (a
+        # contiguous index window then covers all rings at nearby azimuths);
+        # sorted once per solve, amortized over every refresh and pass
+        from ..utils import cloud as cloud_lib
+
+        last_corner = cloud_lib.sort_azimuth_major(last_corner)
+        last_surf = cloud_lib.sort_azimuth_major(last_surf)
+
+    x, st = _odometry_solve_pass(
+        sharp, flat, last_corner, last_surf, x0, cfg, parity_mode
+    )
+    if cfg.cv_dewarp and not parity_mode:
+        for _ in range(max(cfg.dewarp_passes, 1) - 1):
+            x, st = _odometry_solve_pass(
+                sharp, flat, last_corner, last_surf, x, cfg, parity_mode
+            )
+    return x, st
 
 
 def batch_odometry_solve(sharp, flat, last_corner, last_surf, x0, cfg, parity_mode=False):

@@ -231,10 +231,14 @@ def _apply_update(graph: PoseGraph, dx):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",))
 def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()):
     """LM loop with multiplicative damping adaptation (lm_var equivalent).
 
-    Returns (graph', diagnostics dict).
+    Returns (graph', diagnostics dict).  Jitted whole (static cfg): the LM
+    accept/reject loop is a device-side fori_loop, so one dispatch covers
+    all max_iterations — eager dispatch through the axon relay costs ~1 s
+    of round trips per LM iteration (measured 0.8 iters/s eager).
     """
 
     n = graph.poses.shape[0]

@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import eig3
+
 
 def line_point_distance(A, B, X, eps=1e-12):
     """Distance from X to line AB and the unit direction of steepest descent.
@@ -141,4 +143,100 @@ def fit_plane(neighbors, mask=None, max_dist=0.2, planar_ratio=0.05, eps=1e-12):
     if mask is not None:
         valid = valid & mask
     plane = jnp.concatenate([n, d[..., None]], axis=-1)
+    return plane, valid
+
+
+# ---------------------------------------------------------------------------
+# Component-plane variants (TPU layout): identical semantics to
+# fit_line/fit_plane, but the K neighbor coordinates arrive as K separate
+# [...] planes per axis instead of one [..., K, 3] tensor.  A trailing
+# (K, 3) lands on the TPU (sublane, lane) axes padded (8, 128) — the
+# [B, Q, 5, 3] gathers were a ~1.6 GB/iteration HBM allocation in the
+# scan-to-map solve — and jnp.linalg.eigh/solve over [..., 3, 3] pads
+# (4, 128).  Everything below is elementwise over the planes (closed-form
+# 3x3 eigen-analysis from ops/eig3.py, adjugate solve for the plane fit).
+# ---------------------------------------------------------------------------
+
+
+def fit_line_planes(px, py, pz, mask=None, eig_ratio=5.0, half_length=0.1):
+    """fit_line on K coordinate planes (px/py/pz: lists of K [...] arrays).
+
+    Returns (A, B, valid) with A/B stacked [..., 3] (small outputs; only the
+    K-neighbor intermediates must avoid the padded layout).
+    """
+    k = len(px)
+    mx, my, mz = sum(px) / k, sum(py) / k, sum(pz) / k
+    ax = [c - mx for c in px]
+    ay = [c - my for c in py]
+    az = [c - mz for c in pz]
+    cxx = sum(a * a for a in ax) / k
+    cyy = sum(a * a for a in ay) / k
+    czz = sum(a * a for a in az) / k
+    cxy = sum(a * b for a, b in zip(ax, ay)) / k
+    cxz = sum(a * b for a, b in zip(ax, az)) / k
+    cyz = sum(a * b for a, b in zip(ay, az)) / k
+    lam0, lam1, lam2 = eig3.eigvalsh3(cxx, cxy, cxz, cyy, cyz, czz)
+    vx, vy, vz = eig3.principal_evec3(cxx, cxy, cxz, cyy, cyz, czz, lam2)
+    valid = lam2 > eig_ratio * lam1
+    h = half_length
+    A = jnp.stack([mx - h * vx, my - h * vy, mz - h * vz], axis=-1)
+    B = jnp.stack([mx + h * vx, my + h * vy, mz + h * vz], axis=-1)
+    if mask is not None:
+        valid = valid & mask
+    return A, B, valid
+
+
+def fit_plane_planes(px, py, pz, mask=None, max_dist=0.2, planar_ratio=0.05,
+                     eps=1e-12):
+    """fit_plane on K coordinate planes.  Returns (plane [..., 4], valid).
+
+    The 3x3 normal-equation solve is the closed-form symmetric adjugate
+    (Cramer) — same 1e-8 diagonal regularization as the array variant.
+    """
+    k = len(px)
+    mx, my, mz = sum(px) / k, sum(py) / k, sum(pz) / k
+    # Sherman-Morrison: the n.p = -1 LSQ solution direction equals
+    # -(C + eps I)^{-1} c with C the CENTERED covariance and c the centroid
+    # (AtA = K(C + c c^T), Atb = -K c; the rank-1 term only rescales by the
+    # positive scalar 1 + c^T C^{-1} c).  The centered minors are at
+    # point-spread scale, so the f32 adjugate has no large-coordinate
+    # cancellation — solving on raw second moments (entries ~ |p|^2) loses
+    # ~3 digits and measurably biased the mapping solve.
+    ax = [c - mx for c in px]
+    ay = [c - my for c in py]
+    az = [c - mz for c in pz]
+    cxx = sum(a * a for a in ax) + 1e-8
+    cyy = sum(a * a for a in ay) + 1e-8
+    czz = sum(a * a for a in az) + 1e-8
+    cxy = sum(a * b for a, b in zip(ax, ay))
+    cxz = sum(a * b for a, b in zip(ax, az))
+    cyz = sum(a * b for a, b in zip(ay, az))
+
+    adj00 = cyy * czz - cyz * cyz
+    adj01 = cxz * cyz - cxy * czz
+    adj02 = cxy * cyz - cyy * cxz
+    adj11 = cxx * czz - cxz * cxz
+    adj12 = cxy * cxz - cxx * cyz
+    adj22 = cxx * cyy - cxy * cxy
+    # direction only — normalization absorbs det and the rank-1 scalar
+    nx = -(adj00 * mx + adj01 * my + adj02 * mz)
+    ny = -(adj01 * mx + adj11 * my + adj12 * mz)
+    nz = -(adj02 * mx + adj12 * my + adj22 * mz)
+
+    norm = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), eps)
+    nx, ny, nz = nx / norm, ny / norm, nz / norm
+    d = -(nx * mx + ny * my + nz * mz)
+
+    valid = jnp.ones_like(d, dtype=bool)
+    for x, y, z in zip(px, py, pz):
+        dist = jnp.abs(x * nx + y * ny + z * nz + d)
+        valid = valid & (dist <= max_dist)
+    if planar_ratio > 0.0:
+        # reuse the centered covariance sums (eigenvalue RATIOS are
+        # scale-invariant, and the 1e-8 diagonal floor is negligible)
+        _, lam1, lam2 = eig3.eigvalsh3(cxx, cxy, cxz, cyy, cyz, czz)
+        valid = valid & (lam1 > planar_ratio * lam2)
+    if mask is not None:
+        valid = valid & mask
+    plane = jnp.stack([nx, ny, nz, d], axis=-1)
     return plane, valid

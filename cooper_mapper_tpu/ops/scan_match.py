@@ -43,6 +43,7 @@ class ScanMatchResult:
     n_matched: jax.Array
     is_degenerate: jax.Array
     iter_used: jax.Array
+    enough_ref: jax.Array  # [...] bool — reference clouds met the size floor
 
 
 def _build_residuals(x, corner: Cloud, surf: Cloud, ref_corner: Cloud,
@@ -66,15 +67,26 @@ def _build_residuals(x, corner: Cloud, surf: Cloud, ref_corner: Cloud,
     gate_c = (d_c[:, -1] < cfg.nn_sq_dist_max) & corner.mask
     gate_s = (d_s[:, -1] < cfg.nn_sq_dist_max) & surf.mask
 
-    nb_c = ref_corner.xyz[idx_c]                    # [Nc, k, 3]
-    A, B, line_ok = residuals.fit_line(nb_c, gate_c, cfg.line_eig_ratio)
+    # neighbor coordinates as per-k component planes ([Nc] each) — a
+    # [Nc, k, 3] gather pads its (k, 3) tail to (8, 128) on TPU
+    # (~1.6 GB/iteration at batch 64; see residuals.fit_line_planes)
+    def _planes(ref_xyz, idx):
+        return tuple(
+            [ref_xyz[..., ax][idx[:, j]] for j in range(idx.shape[1])]
+            for ax in range(3)
+        )
+
+    cx, cy, cz = _planes(ref_corner.xyz, idx_c)
+    A, B, line_ok = residuals.fit_line_planes(cx, cy, cz, gate_c,
+                                              cfg.line_eig_ratio)
     dir_c, res_c, w_ok_c = residuals.corner_coeff_map(
         A, B, pc, cfg.weight_slope, cfg.weight_min
     )
     ok_c = line_ok & w_ok_c & gate_c
 
-    nb_s = ref_surf.xyz[idx_s]
-    plane, plane_ok = residuals.fit_plane(nb_s, gate_s, cfg.plane_max_dist)
+    sx, sy, sz = _planes(ref_surf.xyz, idx_s)
+    plane, plane_ok = residuals.fit_plane_planes(sx, sy, sz, gate_s,
+                                                 cfg.plane_max_dist)
     dir_s, res_s, w_ok_s = residuals.surf_coeff_map(
         plane, ps, cfg.weight_slope, cfg.weight_min
     )
@@ -161,6 +173,7 @@ def scan_match(
         n_matched=st.n_matched,
         is_degenerate=st.is_degenerate,
         iter_used=st.iter_used,
+        enough_ref=enough_ref,
     )
 
 

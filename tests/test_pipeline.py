@@ -184,3 +184,36 @@ class TestOnlineErrorMatching:
         gt = np.zeros((5, 3))
         stats = evaluation.online_error(est, gt)
         assert stats.n == 3
+
+
+class TestFigureEightRun:
+    """Continuously-rotating trajectory (sim.figure_eight_trajectory): yaw
+    sweeps through all headings and the path crosses itself — the shape the
+    out-and-back corridor (test_long_run) and the circle (test_graph_pipeline)
+    don't cover."""
+
+    def test_mapping_tracks_figure_eight(self):
+        world = sim.make_room_world(size=(30.0, 4.0, 40.0), n_pillars=8, seed=5)
+        # 72 sweeps over 80% of the eight: <= 0.6 m / 12.5 deg per sweep
+        # (n=36 peaks at 25 deg/sweep = 250 deg/s — no platform turns that fast)
+        n = 72
+        poses = sim.figure_eight_trajectory(n + 1, scale=6.0)
+        pipe = SlamPipeline(_small_cfg(), mode="mapping")
+        for i in range(n):
+            sweep = sim.scan_sweep(
+                world, jnp.asarray(poses[i]), jnp.asarray(poses[i + 1]),
+                n_rings=16, width=512,
+            )
+            pipe.process(sweep)
+        est = np.stack(pipe.trajectory)
+        gt_rel = np.stack([np.linalg.inv(poses[0]) @ p for p in poses[:n]])
+        stats = evaluation.ate(est[:, :3, 3], gt_rel[:, :3, 3])
+        # deliberately aggressive trajectory (up to 0.6 m + 12.5 deg PER
+        # SWEEP with a continuously varying yaw rate — the constant-velocity
+        # prior's worst case).  Known limitation this test pins down: the
+        # mapping stage AMPLIFIES the odometry's per-sweep rotation bias
+        # ~2x here (the 5-NN correspondences are dominated by the newest
+        # inserts, so scan-to-map degenerates toward scan-to-last-scan and
+        # compounds the insert-pose error; odometry-only scores ~0.40).
+        # Regression bound at the measured 0.76 + margin.
+        assert stats.rmse < 0.85, f"figure-eight ATE rmse {stats.rmse}"

@@ -106,3 +106,76 @@ class TestFitPlane:
         X2 = X + 0.01 * plane[None, 0, :3]
         signed1 = float(jnp.sum(plane[0, :3] * X2[0]) + plane[0, 3])
         assert signed1 > signed0
+
+
+class TestPlaneVariants:
+    """Component-plane fit variants must reproduce the array variants."""
+
+    def _nbs(self, seed=0, n=64, k=5):
+        rng = np.random.RandomState(seed)
+        base = rng.randn(n, 1, 3) * 3
+        d = rng.randn(n, 1, 3)
+        t = np.linspace(-0.5, 0.5, k)[None, :, None]
+        lines = base + t * d + 0.01 * rng.randn(n, k, 3)
+        planes_n = rng.randn(n, 1, 3)
+        planes_n /= np.linalg.norm(planes_n, axis=-1, keepdims=True)
+        u = np.cross(planes_n, np.array([1.0, 0.3, -0.5]))
+        u /= np.linalg.norm(u, axis=-1, keepdims=True)
+        v = np.cross(planes_n, u)
+        planes = base + rng.randn(n, k, 1) * u + rng.randn(n, k, 1) * v \
+            + 0.01 * rng.randn(n, k, 3)
+        messy = rng.randn(n, k, 3) * 2
+        pts = np.where(rng.rand(n, 1, 1) < 0.33, lines,
+                       np.where(rng.rand(n, 1, 1) < 0.5, planes, messy))
+        return jnp.asarray(pts, jnp.float32)
+
+    @staticmethod
+    def _split(pts):
+        k = pts.shape[-2]
+        return ([pts[..., j, 0] for j in range(k)],
+                [pts[..., j, 1] for j in range(k)],
+                [pts[..., j, 2] for j in range(k)])
+
+    def test_fit_line_planes_matches(self):
+        pts = self._nbs(1)
+        A0, B0, v0 = residuals.fit_line(pts)
+        px, py, pz = self._split(pts)
+        A1, B1, v1 = residuals.fit_line_planes(px, py, pz)
+        agree = np.mean(np.asarray(v0) == np.asarray(v1))
+        assert agree > 0.95, agree  # eigh vs closed-form f32 fuzz at gates
+        both = np.asarray(v0) & np.asarray(v1)
+        # endpoints match up to the A/B sign convention of the direction
+        same = np.linalg.norm(np.asarray(A0 - A1), axis=-1)[both]
+        swap = np.linalg.norm(np.asarray(A0 - B1), axis=-1)[both]
+        np.testing.assert_array_less(np.minimum(same, swap), 1e-2)
+
+    def test_fit_plane_planes_matches(self):
+        # mixed (lines/planes/messy) set: the validity decisions must agree
+        pts = self._nbs(2)
+        _, v0 = residuals.fit_plane(pts)
+        px, py, pz = self._split(pts)
+        _, v1 = residuals.fit_plane_planes(px, py, pz)
+        agree = np.mean(np.asarray(v0) == np.asarray(v1))
+        assert agree > 0.95, agree
+
+    def test_fit_plane_planes_params_on_clean_planes(self):
+        # well-conditioned planar sets: parameters must match numerically
+        # (on gated-out degenerate sets the plane is underdetermined and the
+        # LU vs adjugate solves legitimately disagree)
+        rng = np.random.RandomState(5)
+        n, k = 64, 5
+        base = rng.randn(n, 1, 3) * 3
+        pn = rng.randn(n, 1, 3)
+        pn /= np.linalg.norm(pn, axis=-1, keepdims=True)
+        u = np.cross(pn, np.array([1.0, 0.3, -0.5]))
+        u /= np.linalg.norm(u, axis=-1, keepdims=True)
+        v = np.cross(pn, u)
+        pts = jnp.asarray(
+            base + rng.randn(n, k, 1) * u + rng.randn(n, k, 1) * v
+            + 0.01 * rng.randn(n, k, 3), jnp.float32)
+        p0, v0 = residuals.fit_plane(pts)
+        px, py, pz = self._split(pts)
+        p1, v1 = residuals.fit_plane_planes(px, py, pz)
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                                   rtol=1e-2, atol=5e-3)
