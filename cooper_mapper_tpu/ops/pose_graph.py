@@ -231,7 +231,6 @@ def _apply_update(graph: PoseGraph, dx):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-@partial(jax.jit, static_argnames=("cfg",))
 def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()):
     """LM loop with multiplicative damping adaptation (lm_var equivalent).
 

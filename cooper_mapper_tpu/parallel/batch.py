@@ -10,7 +10,7 @@ block contributions with psum over the same mesh (SURVEY.md §2.8, §5
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +25,28 @@ from ..utils import se3
 from . import mesh as mesh_lib
 
 
+@lru_cache(maxsize=None)
+def _odometry_jit(cfg: OdometryConfig, mesh):
+    """Cached jitted sharded odometry solve.
+
+    jit caches key on the function object, so building ``jax.jit(lambda ...)``
+    per call retraced + recompiled every invocation (measured 62x throughput
+    loss through the axon relay).  Keyed on (cfg, mesh) — both hashable.
+    """
+    return jax.jit(
+        lambda a, b, c, d, x: odo_ops.batch_odometry_solve(a, b, c, d, x, cfg),
+        out_shardings=mesh_lib.batch_sharding(mesh),
+    )
+
+
+@lru_cache(maxsize=None)
+def _scan_match_jit(cfg: ScanMatchConfig, mesh, chunk: int):
+    return jax.jit(
+        lambda a, b, c, d, x: sm_ops.batch_scan_match(a, b, c, d, x, cfg, chunk),
+        out_shardings=mesh_lib.batch_sharding(mesh),
+    )
+
+
 def sharded_odometry_solve(sharp, flat, last_corner, last_surf, x0, cfg: OdometryConfig,
                            mesh):
     """Batch-parallel scan-to-scan solves over the mesh.
@@ -34,11 +56,7 @@ def sharded_odometry_solve(sharp, flat, last_corner, last_surf, x0, cfg: Odometr
     sharp, flat, last_corner, last_surf, x0 = mesh_lib.shard_batch(
         (sharp, flat, last_corner, last_surf, x0), mesh
     )
-    fn = jax.jit(
-        lambda a, b, c, d, x: odo_ops.batch_odometry_solve(a, b, c, d, x, cfg),
-        out_shardings=mesh_lib.batch_sharding(mesh),
-    )
-    return fn(sharp, flat, last_corner, last_surf, x0)
+    return _odometry_jit(cfg, mesh)(sharp, flat, last_corner, last_surf, x0)
 
 
 def sharded_scan_match(corner, surf, ref_corner, ref_surf, x0,
@@ -47,11 +65,7 @@ def sharded_scan_match(corner, surf, ref_corner, ref_surf, x0,
     corner, surf, ref_corner, ref_surf, x0 = mesh_lib.shard_batch(
         (corner, surf, ref_corner, ref_surf, x0), mesh
     )
-    fn = jax.jit(
-        lambda a, b, c, d, x: sm_ops.batch_scan_match(a, b, c, d, x, cfg, chunk),
-        out_shardings=mesh_lib.batch_sharding(mesh),
-    )
-    return fn(corner, surf, ref_corner, ref_surf, x0)
+    return _scan_match_jit(cfg, mesh, chunk)(corner, surf, ref_corner, ref_surf, x0)
 
 
 # ---------------------------------------------------------------------------
