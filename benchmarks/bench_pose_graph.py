@@ -60,6 +60,7 @@ def build_graph(n, seed=0, loop_every=100):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     solver = sys.argv[2] if len(sys.argv) > 2 else "cg"
+    solver = {"pcg": "cg"}.get(solver, solver)  # alias
     iters = 20
     cfg = PoseGraphConfig(max_nodes=n, max_edges=2 * n, max_iterations=iters,
                           solver=solver, pcg_iters=64)

@@ -20,13 +20,28 @@ import jax
 import jax.numpy as jnp
 
 import cooper_mapper_tpu  # noqa: F401
-from cooper_mapper_tpu.config import RegistrationConfig, ScanMatchConfig
+from cooper_mapper_tpu.config import (
+    MatcherConfig, RegistrationConfig, ScanMatchConfig,
+)
 from cooper_mapper_tpu.io import sim
+from cooper_mapper_tpu.models import laser_mapping
 from cooper_mapper_tpu.ops import features, scan_match as sm
 from cooper_mapper_tpu.utils import cloud as cloud_lib
 
 
-def build_problem(width=1024, n_rings=16):
+def build_problem(width=1024, n_rings=16, n_map_sweeps=6,
+                  ref_corner_cap=8192, ref_surf_cap=16384):
+    """Frame = voxel-downsampled less-sharp/less-flat stacks — what the
+    mapping pipeline actually solves with (prepareFeatureFrame,
+    LaserMatcher.cpp:288-301).  The map side is an AGGREGATE of several
+    sweeps from nearby poses, voxel-downsampled at the map leaves — a
+    single sweep's ring structure leaves 5-NN neighborhoods collinear, so
+    findPlane rejects nearly everything and the score gate can never pass
+    (the reference's surround is likewise a multi-sweep accumulation,
+    FeatureMap.h:256-265)."""
+    from cooper_mapper_tpu.ops.voxel import voxel_downsample
+    from cooper_mapper_tpu.utils import se3
+
     world = sim.make_room_world(seed=7)
     p0 = jnp.eye(4, dtype=jnp.float32).at[1, 3].set(1.5)
     th = 0.02
@@ -35,12 +50,42 @@ def build_problem(width=1024, n_rings=16):
          [-np.sin(th), 0, np.cos(th), 0.3], [0, 0, 0, 1]], np.float32))
     p1 = p0 @ motion
     cfg_reg = RegistrationConfig(n_rings=n_rings, max_points_per_ring=width)
-    f_ref = features.extract_features(
-        sim.scan_sweep(world, p0, p0, n_rings=n_rings, width=width), cfg_reg)
+
+    # accumulate a small world-frame map from poses around the start
+    rng = np.random.RandomState(3)
+    ref_c_parts, ref_s_parts = [], []
+    for k in range(n_map_sweeps):
+        pk = np.asarray(p0).copy()
+        pk[:3, 3] += np.array([rng.uniform(-1.5, 1.5), rng.uniform(-0.2, 0.2),
+                               rng.uniform(-1.5, 1.5)], np.float32)
+        yaw = rng.uniform(-0.4, 0.4)
+        c, s = np.cos(yaw), np.sin(yaw)
+        pk = pk @ np.array([[c, 0, s, 0], [0, 1, 0, 0], [-s, 0, c, 0],
+                            [0, 0, 0, 1]], np.float32)
+        pk = jnp.asarray(pk)
+        fk = features.extract_features(
+            sim.scan_sweep(world, pk, pk, n_rings=n_rings, width=width),
+            cfg_reg)
+        ref_c_parts.append(laser_mapping._to_world(fk.less_sharp, pk))
+        ref_s_parts.append(laser_mapping._to_world(fk.less_flat, pk))
+
+    cat = lambda parts: cloud_lib.make(
+        jnp.concatenate([p.xyz for p in parts]),
+        jnp.concatenate([p.mask for p in parts]))
+    ref_c = voxel_downsample(cat(ref_c_parts), 0.2, ref_corner_cap)
+    ref_s = voxel_downsample(cat(ref_s_parts), 0.4, ref_surf_cap)
+
     f_cur = features.extract_features(
         sim.scan_sweep(world, p0, p1, n_rings=n_rings, width=width), cfg_reg)
-    # the map side is the aggregated less-sharp/less-flat reference clouds
-    return f_cur.sharp, f_cur.flat, f_ref.less_sharp, f_ref.less_flat
+    corner_ds, surf_ds = laser_mapping.prepare_frame(
+        f_cur.less_sharp, f_cur.less_flat,
+        MatcherConfig(max_frame_corner=2048, max_frame_surf=4096),
+    )
+    # snug static capacities to the valid counts (bench.py "snug": the
+    # extractor bounds are sensor-generic, 2-10x the valid counts here, and
+    # dense-race work scales with capacity product, not valid points)
+    from bench import snug
+    return snug(corner_ds), snug(surf_ds), snug(ref_c), snug(ref_s)
 
 
 def main():

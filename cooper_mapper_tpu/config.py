@@ -137,8 +137,14 @@ class ScanMatchConfig:
     # bucket-grid correspondence search (the per-cube kd-tree equivalent).
     # cell < sqrt(nn_sq_dist_max) trades exact far-gate coverage (the 27-cell
     # neighborhood spans >= 1.25 m) for 4x lower bucket density — measured
-    # identical solutions to the dense search on voxel-leaf feature clouds
-    use_bucket_grid: bool = True
+    # identical solutions to the dense search on voxel-leaf feature clouds.
+    # Default OFF: on TPU the batched bucket query (a [Q, 27*cap] gather from
+    # a [2^17, cap] table per problem) measured ~10x SLOWER than the dense
+    # masked-distance race at batch 64 surround sizes, and the vmapped
+    # 10-iteration solve with it faults the TPU worker (round-3 probe,
+    # benchmarks/probe_scan_match.py).  The MXU eats the dense [Q, M] tiles;
+    # keep the bucket path for host-side / small-problem use.
+    use_bucket_grid: bool = False
     bucket_cell: float = 1.25
     bucket_hash_bits: int = 17
     bucket_capacity: int = 64
@@ -156,6 +162,10 @@ class MapConfig:
     corner_leaf: float = 0.2             # insertion re-voxelize leaves
     surf_leaf: float = 0.4
     margin_cubes: int = 3                # sensor kept >= 3 cubes from boundary
+    # dedup_active policy: "anchor" keeps each voxel's oldest observation
+    # (pins the map to low-drift early geometry — see feature_map.dedup_active);
+    # "centroid" is pcl::VoxelGrid parity (FeatureMap.h:289-306)
+    dedup_policy: str = "anchor"
     # surround gather capacities (static shapes for the solver)
     surround_corner_capacity: int = 32768
     surround_surf_capacity: int = 65536

@@ -286,11 +286,22 @@ def dedup_active(state: FeatureMapState, sensor_pos, cfg: MapConfig) -> FeatureM
     Applied periodically by the mapping pipeline to bound cube growth
     (the reference runs it every mapping pass over the same vfov-culled
     active set, FeatureMap.h:289-306 / DynamicFeatureMap.h:718-735).
+
+    ``cfg.dedup_policy == "anchor"`` keeps each voxel's OLDEST point instead
+    of the centroid: inserts append behind existing points and both the
+    voxel lexsort and compact() are stable, so the survivor of every pass is
+    inductively the first-ever observation of that voxel.  This pins the map
+    to early (low-drift) geometry — the centroid policy lets every new
+    drift-carrying frame drag its voxel ~halfway toward itself, which on
+    yaw-varying trajectories made scan-to-map AMPLIFY odometry error
+    (measured: figure-eight ATE 0.76 m centroid vs 0.40 m odometry-only).
+    "centroid" restores the reference's pcl::VoxelGrid parity semantics.
     """
     nx, ny, nz = cfg.n_cubes
     nc = nx * ny * nz
     flat, ok = _active_cube_slots(state, sensor_pos, cfg)
     flat = jnp.where(ok, flat, nc)  # out-of-grid -> guard row
+    keep_first = cfg.dedup_policy == "anchor"
 
     def process(cc: CubeCloud, leaf):
         cap = cc.xyz.shape[1]
@@ -298,7 +309,8 @@ def dedup_active(state: FeatureMapState, sensor_pos, cfg: MapConfig) -> FeatureM
         xyz_g = jnp.concatenate([cc.xyz, jnp.full((1, cap, 3), cloud_lib.FAR)], 0)
         mask_g = jnp.concatenate([cc.mask, jnp.zeros((1, cap), bool)], 0)
         sub = jax.vmap(
-            lambda x, m: voxel_downsample(cloud_lib.make(x, m), leaf)
+            lambda x, m: voxel_downsample(cloud_lib.make(x, m), leaf,
+                                          keep_first=keep_first)
         )(xyz_g[flat], mask_g[flat])
         xyz_new = xyz_g.at[flat].set(sub.xyz)[:-1]
         mask_new = mask_g.at[flat].set(sub.mask)[:-1]

@@ -240,6 +240,12 @@ def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()):
     of round trips per LM iteration (measured 0.8 iters/s eager).
     """
 
+    if cfg.solver not in ("cg", "dense"):
+        # "pcg" silently selecting the dense path cost a round of wrong
+        # benchmark numbers (battery r2: "pcg" n=1024 measured the [6N,6N]
+        # dense solve at 7.3 iters/s) — fail loudly instead
+        raise ValueError(f"unknown pose-graph solver {cfg.solver!r}")
+
     n = graph.poses.shape[0]
 
     def solve_dense(graph, lam):

@@ -25,10 +25,17 @@ def voxel_coords(xyz, leaf):
     return jnp.floor(xyz / leaf).astype(jnp.int32)
 
 
-def voxel_downsample(c: Cloud, leaf: float, capacity: int | None = None) -> Cloud:
-    """Centroid voxel filter.  Output capacity defaults to input capacity.
+def voxel_downsample(c: Cloud, leaf: float, capacity: int | None = None,
+                     keep_first: bool = False) -> Cloud:
+    """Voxel filter.  Output capacity defaults to input capacity.
 
-    Invalid input points never contribute; output points are voxel centroids.
+    Invalid input points never contribute.  Default output is the voxel
+    centroid (pcl::VoxelGrid semantics).  ``keep_first=True`` instead keeps
+    the first input point of each voxel (the lexsort is stable, so "first"
+    means lowest original index): used by the map's anchor dedup policy,
+    where each voxel must stay pinned to its OLDEST observation so newer,
+    drift-carrying inserts cannot drag the map (see maps/feature_map.py
+    dedup_active).
     """
     n = c.capacity
     capacity = capacity or n
@@ -50,13 +57,15 @@ def voxel_downsample(c: Cloud, leaf: float, capacity: int | None = None) -> Clou
     )
     seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1  # [n], 0-based
 
-    w = mask_s.astype(jnp.float32)
-    sums = jax.ops.segment_sum(xyz_s * w[:, None], seg_id, num_segments=n)
-    cnts = jax.ops.segment_sum(w, seg_id, num_segments=n)
-    centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
-
     # one output per voxel: the first sorted point carries the metadata
     out_mask = new_seg & mask_s
-    out_xyz = jnp.where(out_mask[:, None], centroids[seg_id], cloud_lib.FAR)
+    if keep_first:
+        out_xyz = jnp.where(out_mask[:, None], xyz_s, cloud_lib.FAR)
+    else:
+        w = mask_s.astype(jnp.float32)
+        sums = jax.ops.segment_sum(xyz_s * w[:, None], seg_id, num_segments=n)
+        cnts = jax.ops.segment_sum(w, seg_id, num_segments=n)
+        centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
+        out_xyz = jnp.where(out_mask[:, None], centroids[seg_id], cloud_lib.FAR)
     out = cloud_lib.make(out_xyz, out_mask, ring_s, rel_s)
     return cloud_lib.compact(out, capacity)

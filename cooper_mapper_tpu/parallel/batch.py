@@ -116,6 +116,8 @@ def sharded_pose_graph_optimize(graph: pg.PoseGraph, cfg: PoseGraphConfig, mesh)
     """
     if cfg.solver == "cg":
         return _sharded_optimize_cg(graph, cfg, mesh)
+    if cfg.solver != "dense":
+        raise ValueError(f"unknown pose-graph solver {cfg.solver!r}")
     axis = mesh.axis_names[0]
     n = graph.poses.shape[0]
 
