@@ -32,18 +32,31 @@ STEPS = [
      {"BENCH_NN_WINDOW": "48", "COOPER_USE_PALLAS": "1"}, 2400),
     ("scan_to_map_b64", [sys.executable, "benchmarks/bench_scan_match.py", "64"],
      {}, 1500),
+    ("scan_to_map_b256", [sys.executable, "benchmarks/bench_scan_match.py",
+                          "256"], {}, 2400),
     ("pose_graph_dense_n256", [sys.executable, "benchmarks/bench_pose_graph.py",
                                "256", "dense"], {}, 1500),
     ("pose_graph_pcg_n1024", [sys.executable, "benchmarks/bench_pose_graph.py",
                               "1024", "pcg"], {}, 1500),
+    ("pose_graph_pcg_n4096", [sys.executable, "benchmarks/bench_pose_graph.py",
+                              "4096", "pcg"], {}, 2400),
     ("ukf_fusion_b4096", [sys.executable, "benchmarks/bench_ukf.py", "4096",
                           "20"], {}, 2400),
     ("ukf_fusion_b512", [sys.executable, "benchmarks/bench_ukf.py", "512",
                          "10"], {}, 2400),
-    ("hetero_b256", [sys.executable, "benchmarks/bench_hetero.py", "256"],
+    # hetero batches read benchmarks/.hetero_cache_*.npz (generate once on
+    # CPU: bench_hetero.load_or_build) so the chip only pays for solves
+    ("hetero_b512", [sys.executable, "benchmarks/bench_hetero.py", "512"],
      {}, 2400),
+    ("hetero_b4096", [sys.executable, "benchmarks/bench_hetero.py", "4096"],
+     {}, 3000),
     ("scaling_tpu_point", [sys.executable, "benchmarks/bench_scaling.py",
                            "256"], {}, 1500),
+    # full SLAM stack on the chip: demo pipeline with per-stage timers and
+    # an XLA trace artifact (SURVEY §5 tracing; round-1 task 5)
+    ("pipeline_tpu_demo", [sys.executable, "examples/demo_mapping.py", "20",
+                           "/tmp/cooper_demo_map_tpu"],
+     {"COOPER_XLA_TRACE": "bench_artifacts/xla_trace_demo"}, 2400),
 ]
 
 

@@ -94,40 +94,81 @@ def snug_batch(c, granule=256):
     return jax.vmap(lambda ci: cloud_lib.compact(ci, cap))(c)
 
 
+def _cache_path(batch, n_worlds):
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f".hetero_cache_b{batch}_w{n_worlds}.npz")
+
+
+def load_or_build(batch, n_worlds):
+    """Problem generation is ~0.9 s/problem through the relay; cache the
+    generated batch to disk so 4096-problem runs don't re-pay ~1 h of
+    ray-casting per measurement."""
+    path = _cache_path(batch, n_worlds)
+    names = ("sharp", "flat", "ref_c", "ref_s")
+    if os.path.exists(path):
+        z = np.load(path)
+        from cooper_mapper_tpu.utils.cloud import Cloud
+        clouds = tuple(
+            Cloud(jnp.asarray(z[f"{n}_xyz"]), jnp.asarray(z[f"{n}_mask"]),
+                  jnp.asarray(z[f"{n}_ring"]), jnp.asarray(z[f"{n}_rel"]))
+            for n in names
+        )
+        return clouds, tuple(z["raw_caps"].tolist()), 0.0
+    t0 = time.time()
+    raw = build_batch(batch, n_worlds)
+    raw_caps = tuple(c.capacity for c in raw)
+    clouds = tuple(snug_batch(c) for c in raw)
+    jax.block_until_ready(clouds[0].xyz)
+    gen_s = time.time() - t0
+    arrs = {}
+    for n, c in zip(names, clouds):
+        arrs[f"{n}_xyz"] = np.asarray(c.xyz)
+        arrs[f"{n}_mask"] = np.asarray(c.mask)
+        arrs[f"{n}_ring"] = np.asarray(c.ring)
+        arrs[f"{n}_rel"] = np.asarray(c.rel_time)
+    np.savez_compressed(path, raw_caps=np.asarray(raw_caps), **arrs)
+    return clouds, raw_caps, gen_s
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     n_worlds = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    # solve in bounded sub-batches: the b512 crash was batch-scaling related
+    # (VERDICT r2 #8) — a chunked dispatch bounds peak HBM and lets any
+    # batch size run; throughput is measured over the whole batch
+    chunk = min(batch, int(os.environ.get("HETERO_CHUNK", "256")))
     cfg = OdometryConfig()
 
-    t0 = time.time()
-    sharp, flat, ref_c, ref_s = build_batch(batch, n_worlds)
-    raw_caps = (sharp.capacity, flat.capacity, ref_c.capacity, ref_s.capacity)
-    sharp, flat, ref_c, ref_s = (
-        snug_batch(sharp), snug_batch(flat), snug_batch(ref_c), snug_batch(ref_s)
-    )
-    jax.block_until_ready(sharp.xyz)
-    gen_s = time.time() - t0
+    (sharp, flat, ref_c, ref_s), raw_caps, gen_s = load_or_build(batch, n_worlds)
 
     rng = np.random.RandomState(0)
     solve = jax.jit(
         lambda a, b, c, d, x: odo_ops.batch_odometry_solve(a, b, c, d, x, cfg)[0]
     )
-    x0 = jnp.asarray(0.02 * rng.randn(batch, 6), jnp.float32)
-    xs = solve(sharp, flat, ref_c, ref_s, x0)
-    jax.block_until_ready(xs)
 
-    reps = 5
+    def solve_all(x0):
+        outs = []
+        for s0 in range(0, batch, chunk):
+            sl = lambda c: jax.tree.map(lambda a: a[s0:s0 + chunk], c)
+            outs.append(solve(sl(sharp), sl(flat), sl(ref_c), sl(ref_s),
+                              x0[s0:s0 + chunk]))
+        return outs
+
+    jax.device_get(solve_all(jnp.asarray(0.02 * rng.randn(batch, 6), jnp.float32)))
+
+    reps = 5 if batch <= 1024 else 3
     dts = []
     for _ in range(reps):
         x0r = jnp.asarray(0.02 * rng.randn(batch, 6), jnp.float32)
         t0 = time.perf_counter()
-        jax.device_get(solve(sharp, flat, ref_c, ref_s, x0r))
+        jax.device_get(solve_all(x0r))
         dts.append(time.perf_counter() - t0)
     dt = min(dts)
 
     print({
         "batch": batch,
         "n_worlds": n_worlds,
+        "chunk": chunk,
         "generation_s": round(gen_s, 1),
         "capacities_unsnug": raw_caps,
         "capacities_snug": (sharp.capacity, flat.capacity,

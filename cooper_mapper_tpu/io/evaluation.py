@@ -101,6 +101,30 @@ def ate(est_pos, gt_pos, align=False) -> ErrorStats:
     return _stats(np.linalg.norm(diff, axis=-1), diff)
 
 
+def pipeline_ate(trajectory, gt_poses, align=True) -> ErrorStats:
+    """ATE for a SlamPipeline trajectory against ground-truth sweep poses.
+
+    Encodes the pipeline's pose convention so callers can't mis-index:
+    ``trajectory[i]`` (a [4,4] merged pose) is the pose at the END of sweep
+    i — features are end-projected (transformToEnd, LaserOdometry.cpp:156)
+    and the odometry accumulates end-to-end motions — so it corresponds to
+    ``gt_poses[i+1]``, expressed relative to ``gt_poses[0]``.
+
+    ``align=True`` (default) removes the SE(3) map-frame gauge: the motion
+    during sweep 0 is unobservable (the first sweep only initializes), so
+    every SLAM trajectory carries a constant map-frame offset that absolute
+    comparison would count at every pose.  Comparing end poses to START
+    ground truth without alignment overstated the figure-eight mapping ATE
+    0.066 -> 0.76 m in round 2 ("mapping amplifies odometry" was this
+    artifact).
+    """
+    est = np.asarray(trajectory, np.float64)
+    gt = np.asarray(gt_poses, np.float64)
+    n = min(len(est), len(gt) - 1)
+    gt_end = np.stack([np.linalg.inv(gt[0]) @ g for g in gt[1:n + 1]])
+    return ate(est[:n, :3, 3], gt_end[:, :3, 3], align=align)
+
+
 def rpe(est_poses, gt_poses, delta: int = 1) -> ErrorStats:
     """Relative pose error over [N,4,4] pose arrays."""
     est = np.asarray(est_poses, np.float64)

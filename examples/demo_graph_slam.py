@@ -96,10 +96,12 @@ def main():
     n_loops = len(pipe.graph.loops)
     n_kf = len(pipe.graph.keyframes)
 
-    ate_merged = evaluation.ate(merged[:, :3, 3], gt_rel[:, :3, 3])
-    ate_graph = evaluation.ate(corrected[:, :3, 3], gt_rel[:, :3, 3])
-    end_merged = np.linalg.norm(merged[-1][:3, 3] - gt_rel[-1][:3, 3])
-    end_graph = np.linalg.norm(corrected[-1][:3, 3] - gt_rel[-1][:3, 3])
+    # end-of-sweep convention + gauge alignment (evaluation.pipeline_ate)
+    ate_merged = evaluation.pipeline_ate(merged, gt)
+    ate_graph = evaluation.pipeline_ate(corrected, gt)
+    gt_end_last = gt_rel[min(len(merged), len(gt_rel) - 1)]
+    end_merged = np.linalg.norm(merged[-1][:3, 3] - gt_end_last[:3, 3])
+    end_graph = np.linalg.norm(corrected[-1][:3, 3] - gt_end_last[:3, 3])
 
     # keyframe-level comparison: the graph redistributes the loop-closure
     # error across nodes, so the optimized keyframe estimates must beat the
@@ -109,11 +111,13 @@ def main():
     kf_sweeps = [
         int(round(kf.stamp / scan_period)) for kf in pipe.graph.keyframes
     ]
-    kf_gt = gt_rel[kf_sweeps][:, :3, 3]
+    # keyframe poses are end-of-sweep mapping poses -> gt index i+1
+    kf_idx = np.minimum(np.asarray(kf_sweeps) + 1, len(gt_rel) - 1)
+    kf_gt = gt_rel[kf_idx][:, :3, 3]
     kf_odom = np.stack([kf.odom for kf in pipe.graph.keyframes])[:, :3, 3]
     kf_graph = pipe.graph.estimates()[:, :3, 3]
-    ate_kf_odom = evaluation.ate(kf_odom, kf_gt)
-    ate_kf_graph = evaluation.ate(kf_graph, kf_gt)
+    ate_kf_odom = evaluation.ate(kf_odom, kf_gt, align=True)
+    ate_kf_graph = evaluation.ate(kf_graph, kf_gt, align=True)
 
     print(f"sweeps: {len(sweeps)}  wall: {wall:.1f}s  keyframes: {n_kf}  loops: {n_loops}")
     print(f"ATE rmse  merged (graph off view): {ate_merged.rmse:.4f} m")

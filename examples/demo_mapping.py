@@ -71,8 +71,9 @@ def main(n_sweeps: int = 20, out_dir: str = "/tmp/cooper_demo_map"):
         drive()
 
     est = np.stack(pipe.trajectory)
-    gt = np.stack([np.linalg.inv(poses[0]) @ p for p in poses[:n_sweeps]])
-    stats = evaluation.ate(est[:, :3, 3], gt[:, :3, 3])
+    # end-of-sweep pose convention + map-frame gauge alignment (the
+    # evaluation convention, io/evaluation.pipeline_ate)
+    stats = evaluation.pipeline_ate(est, np.stack(poses))
     print(f"\nATE rmse: {stats.rmse:.3f} m  mean: {stats.mean:.3f} m  max: {stats.maximum:.3f} m")
     # per-stage wall-clock attribution (the reference's destructor counters,
     # SURVEY.md §5); on TPU this is the evidence the full stack runs on-chip

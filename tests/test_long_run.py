@@ -73,7 +73,7 @@ def _corridor_run(n_forward=60, n_back=40, speed=0.5, width=512):
         )
         for i in range(n_sweeps)
     ]
-    return sweeps, np.stack(poses[:n_sweeps])
+    return sweeps, np.stack(poses)  # n_sweeps + 1 poses (sweep ends included)
 
 
 class TestDynamicLongRun:
@@ -98,16 +98,20 @@ class TestDynamicLongRun:
         itself is bit-transparent: test_dynamic_equals_static.)"""
         pipe, results, gt, files, on_disk = run
         est = np.stack([r.merged_pose for r in results])
-        gt_rel = np.stack([np.linalg.inv(gt[0]) @ g for g in gt])
-        err = np.linalg.norm(est[:, :3, 3] - gt_rel[:, :3, 3], axis=-1)
-        stats = evaluation.ate(est[:, :3, 3], gt_rel[:, :3, 3])
-        assert stats.rmse < 1.3, f"long-run ATE rmse {stats.rmse}"
+        # end-of-sweep convention + gauge alignment (evaluation.pipeline_ate)
+        n = len(est)
+        gt_end = np.stack([np.linalg.inv(gt[0]) @ g for g in gt[1:n + 1]])
+        s, R, t = evaluation.umeyama_alignment(est[:, :3, 3], gt_end[:, :3, 3])
+        est_al = (s * (R @ est[:, :3, 3].T)).T + t
+        err = np.linalg.norm(est_al - gt_end[:, :3, 3], axis=-1)
+        stats = evaluation.pipeline_ate(est, gt)
+        assert stats.rmse < 0.25, f"long-run ATE rmse {stats.rmse}"
         # post-turnaround plateau: the return leg must not keep growing
         assert err[-10:].max() < err[60:75].max() + 0.3, (
             f"error diverging after reversal: {err[60:]}"
         )
         # forward leg (fresh map): tight tracking
-        assert err[:50].max() < 0.6, f"forward-leg errors {err[:50]}"
+        assert err[:50].max() < 0.3, f"forward-leg errors {err[:50]}"
 
     def test_window_recentred_and_paged(self, run):
         """The 30 m forward leg crosses >= 3 cube boundaries; departing cubes

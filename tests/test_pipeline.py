@@ -206,14 +206,19 @@ class TestFigureEightRun:
             )
             pipe.process(sweep)
         est = np.stack(pipe.trajectory)
-        gt_rel = np.stack([np.linalg.inv(poses[0]) @ p for p in poses[:n]])
-        stats = evaluation.ate(est[:, :3, 3], gt_rel[:, :3, 3])
         # deliberately aggressive trajectory (up to 0.6 m + 12.5 deg PER
         # SWEEP with a continuously varying yaw rate — the constant-velocity
-        # prior's worst case).  Known limitation this test pins down: the
-        # mapping stage AMPLIFIES the odometry's per-sweep rotation bias
-        # ~2x here (the 5-NN correspondences are dominated by the newest
-        # inserts, so scan-to-map degenerates toward scan-to-last-scan and
-        # compounds the insert-pose error; odometry-only scores ~0.40).
-        # Regression bound at the measured 0.76 + margin.
-        assert stats.rmse < 0.85, f"figure-eight ATE rmse {stats.rmse}"
+        # prior's worst case).  pipeline_ate encodes the end-of-sweep pose
+        # convention + SE(3) gauge alignment; round 2's "mapping amplifies
+        # odometry 2x" (0.76 vs 0.40) was exactly this evaluation indexed at
+        # sweep STARTS without removing the unobservable map-frame gauge.
+        # Measured: mapping 0.066 m vs odometry-only 0.451 m (aligned) —
+        # mapping cuts drift ~7x.  Regression bound with margin:
+        stats = evaluation.pipeline_ate(est, poses)
+        assert stats.rmse < 0.15, f"figure-eight ATE rmse {stats.rmse}"
+        # and mapping must stay strictly better than dead-reckoned odometry
+        odo = np.stack(pipe.odom_trajectory)
+        odo_stats = evaluation.pipeline_ate(odo, poses)
+        assert stats.rmse < odo_stats.rmse, (
+            f"mapping ({stats.rmse}) worse than odometry ({odo_stats.rmse})"
+        )
