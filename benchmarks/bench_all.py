@@ -30,6 +30,9 @@ STEPS = [
      {"BENCH_NN_WINDOW": "48"}, 1500),
     ("headline_window48_pallas", [sys.executable, "bench.py"],
      {"BENCH_NN_WINDOW": "48", "COOPER_USE_PALLAS": "1"}, 2400),
+    # dense path with ALL races as streaming VMEM kernels (nn1 + masked B/C)
+    ("headline_dense_pallas", [sys.executable, "bench.py"],
+     {"COOPER_USE_PALLAS": "1"}, 2400),
     ("scan_to_map_b64", [sys.executable, "benchmarks/bench_scan_match.py", "64"],
      {}, 1500),
     ("scan_to_map_b256", [sys.executable, "benchmarks/bench_scan_match.py",

@@ -76,6 +76,49 @@ def knn_chunked(q_xyz, r_xyz, r_mask, k: int, chunk: int = 512):
     return idx.reshape(-1, k)[:Q], d.reshape(-1, k)[:Q]
 
 
+def knn_search(q_xyz, r_xyz, r_mask, k: int, chunk: int = 512):
+    """k-NN dispatch for the scan-to-map searches.
+
+    On TPU under COOPER_USE_PALLAS=1 and tileable shapes, the streaming
+    Pallas top-k kernel (ops/pallas/knn_stream.py) keeps the [Q, M] distance
+    tile in VMEM; otherwise the query-chunked dense formulation.
+    """
+    if _pallas_mode() == "1":
+        tiles = _pallas_tiles(q_xyz.shape[0], r_xyz.shape[0])
+        if tiles:
+            from .pallas.knn_stream import knn_pallas
+
+            return knn_pallas(q_xyz, r_xyz, r_mask, k,
+                              tile_q=tiles[0], tile_m=tiles[1])
+    return knn_chunked(q_xyz, r_xyz, r_mask, k, chunk)
+
+
+def _pallas_mode() -> str:
+    """Pallas dispatch for the dense correspondence searches (TPU only).
+
+    ``COOPER_USE_PALLAS=1``    — streaming masked-race kernels (nn1.py): race
+    A plus ring-constrained B/C races, each keeping its distance tile in
+    VMEM; tiny Mosaic programs that compile in seconds.
+    ``COOPER_USE_PALLAS=ring`` — the per-ring-minima kernel (nn_ring.py);
+    one pass over the reference but a 3D-masked program whose Mosaic compile
+    exceeds 10 minutes through the axon remote-compile path.
+    Unset/other — the dense XLA formulation.
+    """
+    import os
+
+    if jax.default_backend() != "tpu":
+        return ""
+    return os.environ.get("COOPER_USE_PALLAS", "")
+
+
+def _pallas_tiles(q: int, m: int):
+    from .pallas.nn1 import _pick_tile
+
+    tq = _pick_tile(q, (256, 128))
+    tm = _pick_tile(m, (512, 256, 128))
+    return (tq, tm) if tq and tm else None
+
+
 def _ring_minima(q_xyz, ref, n_rings):
     from .pallas.nn_ring import ring_minima
 
@@ -176,20 +219,18 @@ def _race_a(q_xyz, ref, precision):
     """Race A (global nearest): returns (ia [Q], da [Q]).
 
     Dispatches to the streaming Pallas 1-NN kernel (ops/pallas/nn1.py) on
-    TPU under COOPER_USE_PALLAS=1 — the [Q, M] distance tile then lives only
-    in VMEM — and to the dense fused min/argmin race otherwise.  Selections
-    are identical under the meter-scale acceptance gates (see nn1.py).
+    TPU when COOPER_USE_PALLAS is set — the [Q, M] distance tile then lives
+    only in VMEM — and to the dense fused min/argmin race otherwise.
+    Selections are identical under the meter-scale acceptance gates (see
+    nn1.py).
     """
-    import os
+    if _pallas_mode():
+        tiles = _pallas_tiles(q_xyz.shape[0], ref.capacity)
+        if tiles:
+            from .pallas import nn1 as nn1_mod
 
-    if os.environ.get("COOPER_USE_PALLAS") == "1" and jax.default_backend() == "tpu":
-        from .pallas import nn1 as nn1_mod
-
-        tq = nn1_mod._pick_tile(q_xyz.shape[0], (256, 128))
-        tm = nn1_mod._pick_tile(ref.capacity, (512, 256, 128))
-        if tq and tm:
             return nn1_mod.nn1_pallas(
-                q_xyz, ref.xyz, ref.mask, tile_q=tq, tile_m=tm
+                q_xyz, ref.xyz, ref.mask, tile_q=tiles[0], tile_m=tiles[1]
             )
     d = _race_dist(q_xyz, ref, precision)
     return jnp.argmin(d, axis=-1), jnp.min(d, axis=-1)
@@ -224,7 +265,6 @@ def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
     _window_candidates for how the neighborhoods differ) — REQUIRES ``ref``
     sorted azimuth-major; one [Q, M] tile instead of two.
     """
-    import os
 
     _check_window(window, n_rings)
     if query_chunk and q_xyz.shape[0] > query_chunk:
@@ -245,7 +285,23 @@ def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
         valid = (da < max_sq_dist) & (db < max_sq_dist)
         return ia, ib, valid
 
-    if os.environ.get("COOPER_USE_PALLAS") == "1" and jax.default_backend() == "tpu":
+    pallas_mode = _pallas_mode()
+    if pallas_mode == "1":
+        tiles = _pallas_tiles(q_xyz.shape[0], ref.capacity)
+        if tiles:
+            from .pallas import nn1 as nn1_mod
+
+            tq, tm = tiles
+            ia, da = nn1_mod.nn1_pallas(
+                q_xyz, ref.xyz, ref.mask, tile_q=tq, tile_m=tm
+            )
+            ib, db = nn1_mod.nn1_masked_pallas(
+                q_xyz, ref.ring[ia], ia, ref.xyz, ref.ring, ref.mask,
+                "adj", ring_span, tile_q=tq, tile_m=tm,
+            )
+            valid = (da < max_sq_dist) & (db < max_sq_dist)
+            return ia, ib, valid
+    if pallas_mode == "ring":
         min1, idx1, _, _ = _ring_minima(q_xyz, ref, n_rings)
         ring_a = jnp.argmin(min1, axis=-1)
         da = jnp.take_along_axis(min1, ring_a[:, None], -1)[:, 0]
@@ -286,7 +342,6 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
     approximation of the reference's ring-band index walk (:437-475; see
     _window_candidates).
     """
-    import os
 
     _check_window(window, n_rings)
     if query_chunk and q_xyz.shape[0] > query_chunk:
@@ -310,7 +365,28 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
         valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
         return ia, ib, ic, valid
 
-    if os.environ.get("COOPER_USE_PALLAS") == "1" and jax.default_backend() == "tpu":
+    pallas_mode = _pallas_mode()
+    if pallas_mode == "1":
+        tiles = _pallas_tiles(q_xyz.shape[0], ref.capacity)
+        if tiles:
+            from .pallas import nn1 as nn1_mod
+
+            tq, tm = tiles
+            ia, da = nn1_mod.nn1_pallas(
+                q_xyz, ref.xyz, ref.mask, tile_q=tq, tile_m=tm
+            )
+            ring_a = ref.ring[ia]
+            ib, db = nn1_mod.nn1_masked_pallas(
+                q_xyz, ring_a, ia, ref.xyz, ref.ring, ref.mask,
+                "same", ring_span, tile_q=tq, tile_m=tm,
+            )
+            ic, dc = nn1_mod.nn1_masked_pallas(
+                q_xyz, ring_a, ia, ref.xyz, ref.ring, ref.mask,
+                "adj", ring_span, tile_q=tq, tile_m=tm,
+            )
+            valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
+            return ia, ib, ic, valid
+    if pallas_mode == "ring":
         min1, idx1, min2, idx2 = _ring_minima(q_xyz, ref, n_rings)
         ring_a = jnp.argmin(min1, axis=-1)
         take = lambda a: jnp.take_along_axis(a, ring_a[:, None], -1)[:, 0]

@@ -115,6 +115,124 @@ def nn1_pallas(q_xyz, r_xyz, r_mask, tile_q: int = 256, tile_m: int = 512,
     return out[1][:, 0], out[0][:, 0]
 
 
+def _nn1_masked_kernel(q_ref, qn_ref, ra_ref, ia_ref, r_ref, rn_ref, ring_ref,
+                       o_min, o_idx, *, tile_m: int, total_m: int, mode: str,
+                       ring_span: float):
+    """Ring-constrained race: candidates filtered by ring relation to A.
+
+    ``mode='same'``: candidate ring == A's ring AND candidate index != A
+    (the surf runner-up race, LaserOdometry.cpp:437-452).
+    ``mode='adj'``: 0 < |candidate ring - A's ring| <= ring_span (the
+    adjacent-ring races, :366-382 corners / :453-475 surfs).
+    """
+    from jax.experimental import pallas as pl
+
+    q = q_ref[:, :]                       # [TQ, 3]
+    qn = qn_ref[:, :]                     # [TQ, 1]
+    ra = ra_ref[:, :]                     # [TQ, 1] f32 ring of A
+    ia = ia_ref[:, :]                     # [TQ, 1] i32 index of A
+    tq = q.shape[0]
+    n_tiles = total_m // tile_m
+
+    def tile_body(t, carry):
+        best, bidx = carry                # [TQ, 1] f32, [TQ, 1] i32
+        off = t * tile_m
+        r = r_ref[pl.ds(off, tile_m), :]        # [TM, 3]
+        rn = rn_ref[:, pl.ds(off, tile_m)]      # [1, TM], FAR where invalid
+        ring = ring_ref[:, pl.ds(off, tile_m)]  # [1, TM], 1e9 where invalid
+        d = (
+            qn
+            - 2.0 * jax.lax.dot_general(
+                q, r, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + rn
+        )                                  # [TQ, TM]
+        if mode == "same":
+            ok = ring == ra
+            cols = off + jax.lax.broadcasted_iota(jnp.int32, (tq, tile_m), 1)
+            ok = ok & (cols != ia)
+        else:  # adj
+            rd = jnp.abs(ring - ra)
+            ok = (rd > 0.0) & (rd <= ring_span)
+        d = jnp.where(ok, d, BIG)
+        m = jnp.min(d, axis=-1, keepdims=True)
+        a = off + jnp.argmin(d, axis=-1, keepdims=True).astype(jnp.int32)
+        upd = m < best                    # strict: earlier tile wins ties
+        return jnp.where(upd, m, best), jnp.where(upd, a, bidx)
+
+    init = (
+        jnp.full(o_min.shape, BIG, jnp.float32),
+        jnp.zeros(o_idx.shape, jnp.int32),
+    )
+    best, bidx = jax.lax.fori_loop(0, n_tiles, tile_body, init)
+    o_min[:, :] = best
+    o_idx[:, :] = bidx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "ring_span", "tile_q", "tile_m", "interpret"),
+)
+def nn1_masked_pallas(q_xyz, ring_a, ia, r_xyz, r_ring, r_mask, mode: str,
+                      ring_span: float = 2.5, tile_q: int = 256,
+                      tile_m: int = 512, interpret: bool = False):
+    """Ring-constrained 1-NN (idx [Q], sq_dist [Q]) streamed through VMEM.
+
+    The races B and C of the dense correspondence searches
+    (ops/neighbors.corner_pairs/surf_triples) re-reduce the same [Q, M]
+    distance tile under ring masks derived from race A's winner; with this
+    kernel each race streams its own tiles through VMEM instead, so no race
+    of the refresh ever materializes [Q, M] in HBM.  Selections match the
+    dense masked argmin for every query that passes the meter-scale
+    acceptance gates (invalid points carry ring 1e9 — excluded exactly — and
+    ||r||^2 = BIG).  Ties break toward the smaller reference index.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q, M = q_xyz.shape[0], r_xyz.shape[0]
+    assert Q % tile_q == 0 and M % tile_m == 0, (Q, M, tile_q, tile_m)
+    assert mode in ("same", "adj"), mode
+
+    qn = jnp.sum(q_xyz * q_xyz, axis=-1, keepdims=True)            # [Q, 1]
+    rn = jnp.sum(r_xyz * r_xyz, axis=-1)                           # [M]
+    rn = jnp.where(r_mask, rn, BIG)[None, :]                       # [1, M]
+    ringf = jnp.where(r_mask, r_ring.astype(jnp.float32), 1e9)[None, :]
+    ra = ring_a.astype(jnp.float32)[:, None]                       # [Q, 1]
+    ia2 = ia.astype(jnp.int32)[:, None]                            # [Q, 1]
+
+    kernel = functools.partial(
+        _nn1_masked_kernel, tile_m=tile_m, total_m=M, mode=mode,
+        ring_span=float(ring_span),
+    )
+    vm = pltpu.VMEM
+    grid = (Q // tile_q,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_q, 3), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((M, 3), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0), memory_space=vm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Q, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_xyz, qn, ra, ia2, r_xyz, rn, ringf)
+    return out[1][:, 0], out[0][:, 0]
+
+
 def _pick_tile(n: int, candidates) -> int:
     for c in candidates:
         if n % c == 0:

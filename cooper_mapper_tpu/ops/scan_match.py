@@ -61,8 +61,8 @@ def _build_residuals(x, corner: Cloud, surf: Cloud, ref_corner: Cloud,
         idx_c, d_c = bucket_knn.query(grid_c, ref_corner.xyz, ref_corner.mask, pc, cfg.knn)
         idx_s, d_s = bucket_knn.query(grid_s, ref_surf.xyz, ref_surf.mask, ps, cfg.knn)
     else:
-        idx_c, d_c = neighbors.knn_chunked(pc, ref_corner.xyz, ref_corner.mask, cfg.knn, chunk)
-        idx_s, d_s = neighbors.knn_chunked(ps, ref_surf.xyz, ref_surf.mask, cfg.knn, chunk)
+        idx_c, d_c = neighbors.knn_search(pc, ref_corner.xyz, ref_corner.mask, cfg.knn, chunk)
+        idx_s, d_s = neighbors.knn_search(ps, ref_surf.xyz, ref_surf.mask, cfg.knn, chunk)
 
     gate_c = (d_c[:, -1] < cfg.nn_sq_dist_max) & corner.mask
     gate_s = (d_s[:, -1] < cfg.nn_sq_dist_max) & surf.mask

@@ -21,6 +21,18 @@ def _problem(seed=0, Q=256, M=512, mask_frac=0.15):
     return jnp.asarray(q), jnp.asarray(r), jnp.asarray(mask)
 
 
+def _ring_cloud(rng, M, R, mask_frac=0.1):
+    from cooper_mapper_tpu.utils.cloud import Cloud
+
+    xyz = rng.uniform(-8, 8, (M, 3)).astype(np.float32)
+    ring = rng.randint(0, R, M).astype(np.int32)
+    mask = rng.rand(M) > mask_frac
+    return Cloud(
+        xyz=jnp.asarray(xyz), mask=jnp.asarray(mask),
+        ring=jnp.asarray(ring), rel_time=jnp.zeros(M, jnp.float32),
+    )
+
+
 class TestNN1Pallas:
     def test_matches_dense_race(self):
         q, r, mask = _problem(0)
@@ -55,6 +67,69 @@ class TestNN1Pallas:
         np.testing.assert_array_equal(np.asarray(ia_p), np.asarray(ia_d))
         np.testing.assert_allclose(np.asarray(da_p), np.asarray(da_d),
                                    rtol=1e-5, atol=1e-4)
+
+    def test_masked_races_match_dense_searches(self):
+        # The ring-constrained B/C races (nn1_masked_pallas) must reproduce
+        # the dense searches' selections for every gated-in query: 'adj' vs
+        # corner_pairs' race B, 'same'/'adj' vs surf_triples' races B/C.
+        rng = np.random.RandomState(3)
+        Q, M, R = 128, 256, 16
+        q = jnp.asarray(rng.uniform(-8, 8, (Q, 3)), jnp.float32)
+        ref = _ring_cloud(rng, M, R)
+        max_sq = 25.0
+
+        ia_d, ib_d, ic_d, ok_d = neighbors.surf_triples(
+            q, ref, max_sq, ring_span=2.5, n_rings=R
+        )
+        ia_p, da_p = nn1_mod.nn1_pallas(q, ref.xyz, ref.mask, tile_q=128,
+                                        tile_m=128, interpret=True)
+        ring_a = ref.ring[ia_p]
+        ib_p, db_p = nn1_mod.nn1_masked_pallas(
+            q, ring_a, ia_p, ref.xyz, ref.ring, ref.mask, "same", 2.5,
+            tile_q=128, tile_m=128, interpret=True,
+        )
+        ic_p, dc_p = nn1_mod.nn1_masked_pallas(
+            q, ring_a, ia_p, ref.xyz, ref.ring, ref.mask, "adj", 2.5,
+            tile_q=128, tile_m=128, interpret=True,
+        )
+        ok_p = (da_p < max_sq) & (db_p < max_sq) & (dc_p < max_sq)
+        np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_d))
+        sel = np.asarray(ok_d)
+        np.testing.assert_array_equal(np.asarray(ia_p)[sel], np.asarray(ia_d)[sel])
+        np.testing.assert_array_equal(np.asarray(ib_p)[sel], np.asarray(ib_d)[sel])
+        np.testing.assert_array_equal(np.asarray(ic_p)[sel], np.asarray(ic_d)[sel])
+
+        ia_c, ib_c, ok_c = neighbors.corner_pairs(
+            q, ref, max_sq, ring_span=2.5, n_rings=R
+        )
+        ok_cp = (da_p < max_sq) & (dc_p < max_sq)  # corner B == 'adj' race
+        np.testing.assert_array_equal(np.asarray(ok_cp), np.asarray(ok_c))
+        sel = np.asarray(ok_c)
+        np.testing.assert_array_equal(np.asarray(ia_p)[sel], np.asarray(ia_c)[sel])
+        np.testing.assert_array_equal(np.asarray(ic_p)[sel], np.asarray(ib_c)[sel])
+
+    def test_masked_race_excludes_a_itself(self):
+        # 'same' mode must never return A itself even when A is duplicated
+        # in the reference (the dense race excludes by index, not distance)
+        q = jnp.asarray(np.tile([[1.0, 0.0, 0.0]], (128, 1)), jnp.float32)
+        xyz = np.zeros((128, 3), np.float32)
+        xyz[0] = [1.0, 0.0, 0.0]   # exact hit, ring 0
+        xyz[1] = [1.0, 0.0, 0.0]   # duplicate, ring 0
+        xyz[2:] = np.random.RandomState(0).uniform(2, 9, (126, 3))
+        from cooper_mapper_tpu.utils.cloud import Cloud
+        ref = Cloud(
+            xyz=jnp.asarray(xyz), mask=jnp.ones(128, bool),
+            ring=jnp.zeros(128, jnp.int32),
+            rel_time=jnp.zeros(128, jnp.float32),
+        )
+        ia, _ = nn1_mod.nn1_pallas(q, ref.xyz, ref.mask, tile_q=128,
+                                   tile_m=128, interpret=True)
+        ib, db = nn1_mod.nn1_masked_pallas(
+            q, ref.ring[ia], ia, ref.xyz, ref.ring, ref.mask, "same", 2.5,
+            tile_q=128, tile_m=128, interpret=True,
+        )
+        assert int(ia[0]) == 0
+        assert int(ib[0]) == 1 and float(db[0]) < 1e-6
 
     def test_vmap_batches_cleanly(self):
         # the batched odometry solve vmaps the search over sweep problems
