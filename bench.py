@@ -65,6 +65,10 @@ def build_problem(width=1024, n_rings=16):
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "512"))
+    # streaming/fused Pallas race kernels are the measured-fastest path on
+    # TPU (BENCH.md "Optimization log"); default them on, with a dense-XLA
+    # fallback below so a Mosaic regression can never zero the bench
+    use_pallas = os.environ.setdefault("COOPER_USE_PALLAS", "1") == "1"
     # full 'highest' matmul precision everywhere: nn_precision='high' buys
     # ~4.5% more throughput but can flip NN ties (pose deltas at the solver's
     # own 0.1 deg/0.1 cm convergence tolerance) — not worth it here
@@ -88,8 +92,21 @@ def main():
         lambda a, b, c, d, x: odo_ops.batch_odometry_solve(a, b, c, d, x, cfg)[0]
     )
 
-    xs = solve(sharp, flat, ref_c, ref_s, x0)
-    jax.block_until_ready(xs)  # compile + warmup
+    try:
+        xs = solve(sharp, flat, ref_c, ref_s, x0)
+        jax.block_until_ready(xs)  # compile + warmup
+    except Exception as e:  # Mosaic/VMEM regression: fall back to dense XLA
+        if not use_pallas:
+            raise
+        print(f"pallas path failed ({type(e).__name__}); dense fallback",
+              file=sys.stderr, flush=True)
+        os.environ["COOPER_USE_PALLAS"] = "0"
+        odo_ops.odometry_solve.clear_cache()
+        solve = jax.jit(
+            lambda a, b, c, d, x: odo_ops.batch_odometry_solve(a, b, c, d, x, cfg)[0]
+        )
+        xs = solve(sharp, flat, ref_c, ref_s, x0)
+        jax.block_until_ready(xs)
 
     # measurement notes: inputs VARY per repetition (the runtime path caches
     # executions for bit-identical inputs); completion is forced with

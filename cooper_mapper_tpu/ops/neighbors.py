@@ -115,8 +115,41 @@ def _pallas_tiles(q: int, m: int):
     from .pallas.nn1 import _pick_tile
 
     tq = _pick_tile(q, (256, 128))
-    tm = _pick_tile(m, (512, 256, 128))
+    # large reference tiles amortize per-dot issue latency: the race dots are
+    # [TQ, 3] x [3, TM] (K=3, latency-bound), so fewer/bigger wins — the whole
+    # reference as ONE tile when it fits VMEM (measured 1045 -> 1373 solves/s
+    # at [512, 768/4864], bench_artifacts/pallas_tile_ab.log)
+    if m % 128 == 0 and m <= 8192:
+        tm = m
+    else:
+        tm = _pick_tile(m, (4096, 2048, 1024, 512, 256, 128))
     return (tq, tm) if tq and tm else None
+
+
+def _fused_tile_q(q: int, m: int):
+    """Query tile for the fused one-tile-per-search kernel, or 0 to skip.
+
+    OPT-IN (COOPER_PALLAS_FUSED=1): the fused kernel verifies bit-exact on
+    single problems (bench_artifacts/verify_fused.log) but its vmapped
+    steady-state execution wedged the TPU through the axon relay (first
+    batch-512 run completes in ~5 s, every subsequent run hangs for minutes
+    and blocks the chip — suspected VMEM-oversubscription scheduling issue
+    with ~6 live [tile_q, M] tiles).  The separate-kernel streaming path with
+    the full reference as one tile is the measured-fastest stable default.
+
+    The fused kernel also needs the whole [tile_q, M] distance tile in VMEM,
+    so it is gated on M: past ~8k reference points the per-race streaming
+    kernels take over (map-sized searches).
+    """
+    import os
+
+    from .pallas.nn1 import _pick_tile
+
+    if os.environ.get("COOPER_PALLAS_FUSED", "0") != "1":
+        return 0
+    if m % 128 != 0 or m > 8192:
+        return 0
+    return _pick_tile(q, (256, 128) if m <= 4096 else (128,))
 
 
 def _ring_minima(q_xyz, ref, n_rings):
@@ -287,10 +320,18 @@ def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
 
     pallas_mode = _pallas_mode()
     if pallas_mode == "1":
+        from .pallas import nn1 as nn1_mod
+
+        ftq = _fused_tile_q(q_xyz.shape[0], ref.capacity)
+        if ftq:
+            ia, da, ib, db = nn1_mod.fused_races_pallas(
+                q_xyz, ref.xyz, ref.ring, ref.mask, with_same=False,
+                ring_span=ring_span, tile_q=ftq,
+            )
+            valid = (da < max_sq_dist) & (db < max_sq_dist)
+            return ia, ib, valid
         tiles = _pallas_tiles(q_xyz.shape[0], ref.capacity)
         if tiles:
-            from .pallas import nn1 as nn1_mod
-
             tq, tm = tiles
             ia, da = nn1_mod.nn1_pallas(
                 q_xyz, ref.xyz, ref.mask, tile_q=tq, tile_m=tm
@@ -367,10 +408,18 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
 
     pallas_mode = _pallas_mode()
     if pallas_mode == "1":
+        from .pallas import nn1 as nn1_mod
+
+        ftq = _fused_tile_q(q_xyz.shape[0], ref.capacity)
+        if ftq:
+            ia, da, ib, db, ic, dc = nn1_mod.fused_races_pallas(
+                q_xyz, ref.xyz, ref.ring, ref.mask, with_same=True,
+                ring_span=ring_span, tile_q=ftq,
+            )
+            valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
+            return ia, ib, ic, valid
         tiles = _pallas_tiles(q_xyz.shape[0], ref.capacity)
         if tiles:
-            from .pallas import nn1 as nn1_mod
-
             tq, tm = tiles
             ia, da = nn1_mod.nn1_pallas(
                 q_xyz, ref.xyz, ref.mask, tile_q=tq, tile_m=tm

@@ -233,6 +233,129 @@ def nn1_masked_pallas(q_xyz, ring_a, ia, r_xyz, r_ring, r_mask, mode: str,
     return out[1][:, 0], out[0][:, 0]
 
 
+def _fused_races_kernel(q_ref, qn_ref, r_ref, rn_ref, ring_ref, *outs,
+                        with_same: bool, ring_span: float):
+    """All races of one correspondence search on a single distance tile.
+
+    The separate-kernel path (nn1_pallas + nn1_masked_pallas per race)
+    recomputes the ``[TQ, M]`` distance tile for every race; the races are
+    VPU-elementwise-bound (the dense-XLA and streaming-Pallas refresh costs
+    coincide at ~63 ms — the HBM tile was never the bottleneck), so computing
+    ``d`` once and running the masked reductions on the SAME tile removes
+    1/2 (corner) to 2/3 (surf) of the tile-construction work.
+
+    Requires the whole reference resident in VMEM (single tile, no fori_loop):
+    race A's winner ring must be known before races B/C can mask, so a
+    streaming multi-tile variant would need two passes anyway.  A's ring is
+    extracted in-kernel with a hit-mask reduce (no value-domain gather, which
+    Mosaic lacks): ``ra = min(where(cols == ia, ring, 1e9))``.
+
+    Race semantics match the dense searches (ops/neighbors.corner_pairs /
+    surf_triples, LaserOdometry.cpp:358-497): A = global nearest, B (surf,
+    ``with_same``) = nearest on A's ring excluding A, C = nearest within
+    ``ring_span`` rings of A's ring excluding A's ring.  Ties break toward
+    the smaller reference index (single argmin pass over the full tile).
+    """
+    q = q_ref[:, :]                       # [TQ, 3]
+    qn = qn_ref[:, :]                     # [TQ, 1]
+    r = r_ref[:, :]                       # [M, 3]
+    rn = rn_ref[:, :]                     # [1, M], BIG where invalid
+    ring = ring_ref[:, :]                 # [1, M] f32, 1e9 where invalid
+
+    d = (
+        qn
+        - 2.0 * jax.lax.dot_general(
+            q, r, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + rn
+    )                                      # [TQ, M]
+
+    da = jnp.min(d, axis=-1, keepdims=True)
+    ia = jnp.argmin(d, axis=-1, keepdims=True).astype(jnp.int32)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    at_a = cols == ia                      # [TQ, M]
+    ra = jnp.min(jnp.where(at_a, ring, 1e9), axis=-1, keepdims=True)
+
+    o = iter(outs)
+    o_min_a, o_idx_a = next(o), next(o)
+    o_min_a[:, :] = da
+    o_idx_a[:, :] = ia
+
+    if with_same:
+        db_t = jnp.where((ring == ra) & ~at_a, d, BIG)
+        o_min_b, o_idx_b = next(o), next(o)
+        o_min_b[:, :] = jnp.min(db_t, axis=-1, keepdims=True)
+        o_idx_b[:, :] = jnp.argmin(db_t, axis=-1, keepdims=True).astype(jnp.int32)
+
+    rd = jnp.abs(ring - ra)
+    dc_t = jnp.where((rd > 0.0) & (rd <= ring_span), d, BIG)
+    o_min_c, o_idx_c = next(o), next(o)
+    o_min_c[:, :] = jnp.min(dc_t, axis=-1, keepdims=True)
+    o_idx_c[:, :] = jnp.argmin(dc_t, axis=-1, keepdims=True).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("with_same", "ring_span", "tile_q", "interpret"),
+)
+def fused_races_pallas(q_xyz, r_xyz, r_ring, r_mask, with_same: bool,
+                       ring_span: float = 2.5, tile_q: int = 128,
+                       interpret: bool = False):
+    """One-kernel correspondence search: all races share one distance tile.
+
+    Returns ``(ia, da, ib, db, ic, dc)`` with ``with_same=True`` (the surf
+    triple search: B = same-ring runner-up, C = adjacent-ring nearest) or
+    ``(ia, da, ic, dc)`` with ``with_same=False`` (the corner pair search:
+    only the adjacent-ring race).  Selections match the dense searches for
+    every query that passes the meter-scale acceptance gates; masking rides
+    ``||r||^2 = BIG`` and ``ring = 1e9`` exactly as in nn1_masked_pallas.
+
+    The whole reference must fit in VMEM alongside the [tile_q, M] distance
+    tile — callers gate on M (ops/neighbors._fused_max_m); the streaming
+    per-race kernels remain the fallback for map-sized references.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q, M = q_xyz.shape[0], r_xyz.shape[0]
+    assert Q % tile_q == 0 and M % 128 == 0, (Q, M, tile_q)
+
+    qn = jnp.sum(q_xyz * q_xyz, axis=-1, keepdims=True)            # [Q, 1]
+    rn = jnp.sum(r_xyz * r_xyz, axis=-1)                           # [M]
+    rn = jnp.where(r_mask, rn, BIG)[None, :]                       # [1, M]
+    ringf = jnp.where(r_mask, r_ring.astype(jnp.float32), 1e9)[None, :]
+
+    kernel = functools.partial(
+        _fused_races_kernel, with_same=with_same, ring_span=float(ring_span)
+    )
+    vm = pltpu.VMEM
+    n_out = 6 if with_same else 4
+    qv = pl.BlockSpec((tile_q, 1), lambda i: (i, 0), memory_space=vm)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Q // tile_q,),
+        in_specs=[
+            pl.BlockSpec((tile_q, 3), lambda i: (i, 0), memory_space=vm),
+            qv,
+            pl.BlockSpec((M, 3), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=vm),
+        ],
+        out_specs=[qv] * n_out,
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, 1), jnp.float32 if k % 2 == 0 else jnp.int32)
+            for k in range(n_out)
+        ],
+        interpret=interpret,
+    )(q_xyz, qn, r_xyz, rn, ringf)
+    # kernel outputs are (min, idx) per race; return (idx, dist) per race to
+    # match nn1_pallas / the dense searches
+    races = [(out[k + 1][:, 0], out[k][:, 0]) for k in range(0, n_out, 2)]
+    return tuple(v for pair in races for v in pair)
+
+
 def _pick_tile(n: int, candidates) -> int:
     for c in candidates:
         if n % c == 0:

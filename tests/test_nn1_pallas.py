@@ -131,6 +131,63 @@ class TestNN1Pallas:
         assert int(ia[0]) == 0
         assert int(ib[0]) == 1 and float(db[0]) < 1e-6
 
+    def test_fused_races_match_dense_searches(self):
+        # the fused one-tile kernel (fused_races_pallas) must reproduce the
+        # dense surf_triples / corner_pairs selections for gated-in queries,
+        # including the in-kernel extraction of A's ring
+        rng = np.random.RandomState(11)
+        Q, M, R = 128, 256, 16
+        q = jnp.asarray(rng.uniform(-8, 8, (Q, 3)), jnp.float32)
+        ref = _ring_cloud(rng, M, R)
+        max_sq = 25.0
+
+        ia_d, ib_d, ic_d, ok_d = neighbors.surf_triples(
+            q, ref, max_sq, ring_span=2.5, n_rings=R
+        )
+        ia_p, da_p, ib_p, db_p, ic_p, dc_p = nn1_mod.fused_races_pallas(
+            q, ref.xyz, ref.ring, ref.mask, with_same=True, ring_span=2.5,
+            tile_q=128, interpret=True,
+        )
+        ok_p = (da_p < max_sq) & (db_p < max_sq) & (dc_p < max_sq)
+        np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_d))
+        sel = np.asarray(ok_d)
+        np.testing.assert_array_equal(np.asarray(ia_p)[sel], np.asarray(ia_d)[sel])
+        np.testing.assert_array_equal(np.asarray(ib_p)[sel], np.asarray(ib_d)[sel])
+        np.testing.assert_array_equal(np.asarray(ic_p)[sel], np.asarray(ic_d)[sel])
+
+        ia_c, ib_c, ok_c = neighbors.corner_pairs(
+            q, ref, max_sq, ring_span=2.5, n_rings=R
+        )
+        ia_f, da_f, ib_f, db_f = nn1_mod.fused_races_pallas(
+            q, ref.xyz, ref.ring, ref.mask, with_same=False, ring_span=2.5,
+            tile_q=128, interpret=True,
+        )
+        ok_f = (da_f < max_sq) & (db_f < max_sq)
+        np.testing.assert_array_equal(np.asarray(ok_f), np.asarray(ok_c))
+        sel = np.asarray(ok_c)
+        np.testing.assert_array_equal(np.asarray(ia_f)[sel], np.asarray(ia_c)[sel])
+        np.testing.assert_array_equal(np.asarray(ib_f)[sel], np.asarray(ib_c)[sel])
+
+    def test_fused_races_exclude_a_itself(self):
+        # fused 'same' race must never return A even when A is duplicated
+        q = jnp.asarray(np.tile([[1.0, 0.0, 0.0]], (128, 1)), jnp.float32)
+        xyz = np.zeros((128, 3), np.float32)
+        xyz[0] = [1.0, 0.0, 0.0]
+        xyz[1] = [1.0, 0.0, 0.0]
+        xyz[2:] = np.random.RandomState(0).uniform(2, 9, (126, 3))
+        from cooper_mapper_tpu.utils.cloud import Cloud
+        ref = Cloud(
+            xyz=jnp.asarray(xyz), mask=jnp.ones(128, bool),
+            ring=jnp.zeros(128, jnp.int32),
+            rel_time=jnp.zeros(128, jnp.float32),
+        )
+        ia, _, ib, db, _, _ = nn1_mod.fused_races_pallas(
+            q, ref.xyz, ref.ring, ref.mask, with_same=True, ring_span=2.5,
+            tile_q=128, interpret=True,
+        )
+        assert int(ia[0]) == 0
+        assert int(ib[0]) == 1 and float(db[0]) < 1e-6
+
     def test_vmap_batches_cleanly(self):
         # the batched odometry solve vmaps the search over sweep problems
         qs, rs, ms = [], [], []
