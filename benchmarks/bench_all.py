@@ -24,25 +24,37 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # (key, argv, extra env, timeout_s)
+# bench.py now defaults COOPER_USE_PALLAS=1 (the measured-fastest path), so
+# the dense-XLA entry pins =0 explicitly
 STEPS = [
-    ("headline_dense", [sys.executable, "bench.py"], {}, 1500),
+    ("headline_dense", [sys.executable, "bench.py"],
+     {"COOPER_USE_PALLAS": "0"}, 1500),
     ("headline_window48", [sys.executable, "bench.py"],
-     {"BENCH_NN_WINDOW": "48"}, 1500),
+     {"BENCH_NN_WINDOW": "48", "COOPER_USE_PALLAS": "0"}, 1500),
     ("headline_window48_pallas", [sys.executable, "bench.py"],
      {"BENCH_NN_WINDOW": "48", "COOPER_USE_PALLAS": "1"}, 2400),
-    # dense path with ALL races as streaming VMEM kernels (nn1 + masked B/C)
+    # default path: ALL races as streaming VMEM kernels, full-M tiles
     ("headline_dense_pallas", [sys.executable, "bench.py"],
      {"COOPER_USE_PALLAS": "1"}, 2400),
     ("scan_to_map_b64", [sys.executable, "benchmarks/bench_scan_match.py", "64"],
      {}, 1500),
     ("scan_to_map_b256", [sys.executable, "benchmarks/bench_scan_match.py",
                           "256"], {}, 2400),
+    # streaming top-k kernel for the per-iteration 5-NN searches
+    ("scan_to_map_b64_pallas", [sys.executable,
+                                "benchmarks/bench_scan_match.py", "64"],
+     {"COOPER_USE_PALLAS": "1"}, 2400),
     ("pose_graph_dense_n256", [sys.executable, "benchmarks/bench_pose_graph.py",
                                "256", "dense"], {}, 1500),
     ("pose_graph_pcg_n1024", [sys.executable, "benchmarks/bench_pose_graph.py",
                               "1024", "pcg"], {}, 1500),
     ("pose_graph_pcg_n4096", [sys.executable, "benchmarks/bench_pose_graph.py",
                               "4096", "pcg"], {}, 2400),
+    # reference-scale budget (<=1000 LM iters/optimize, solver_g2o.cpp:79-95):
+    # amortizes the fixed per-dispatch relay overhead out of iters/s
+    ("pose_graph_pcg_n1024_i100", [sys.executable,
+                                   "benchmarks/bench_pose_graph.py",
+                                   "1024", "pcg", "100"], {}, 1500),
     ("ukf_fusion_b4096", [sys.executable, "benchmarks/bench_ukf.py", "4096",
                           "20"], {}, 2400),
     ("ukf_fusion_b512", [sys.executable, "benchmarks/bench_ukf.py", "512",

@@ -6,7 +6,11 @@ iterations per optimize() with wall time printed per run
 configurable node count and measures full LM iterations/s for both inner
 solvers (dense Cholesky vs matrix-free block-Jacobi PCG).
 
-Usage: python benchmarks/bench_pose_graph.py [n_nodes] [solver]
+Usage: python benchmarks/bench_pose_graph.py [n_nodes] [solver] [lm_iters]
+
+``lm_iters`` defaults to 20; the reference budgets up to 1000 LM iterations
+per optimize (solver_g2o.cpp:79-95), so a larger-budget point additionally
+amortizes the ~0.5 s per-dispatch relay overhead out of the iters/s figure.
 """
 
 import dataclasses
@@ -61,7 +65,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     solver = sys.argv[2] if len(sys.argv) > 2 else "cg"
     solver = {"pcg": "cg"}.get(solver, solver)  # alias
-    iters = 20
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     cfg = PoseGraphConfig(max_nodes=n, max_edges=2 * n, max_iterations=iters,
                           solver=solver, pcg_iters=64)
     graph = build_graph(n)

@@ -84,12 +84,17 @@ def knn_search(q_xyz, r_xyz, r_mask, k: int, chunk: int = 512):
     tile in VMEM; otherwise the query-chunked dense formulation.
     """
     if _pallas_mode() == "1":
-        tiles = _pallas_tiles(q_xyz.shape[0], r_xyz.shape[0])
-        if tiles:
+        from .pallas.nn1 import _pick_tile
+
+        # the top-k kernel keeps ~3k live [TQ, TM] temporaries per extraction
+        # round, so unlike the 1-NN races it must NOT take the whole reference
+        # as one tile (VMEM): cap the reference tile at 2048
+        tq = _pick_tile(q_xyz.shape[0], (256, 128))
+        tm = _pick_tile(r_xyz.shape[0], (2048, 1024, 512, 256, 128))
+        if tq and tm:
             from .pallas.knn_stream import knn_pallas
 
-            return knn_pallas(q_xyz, r_xyz, r_mask, k,
-                              tile_q=tiles[0], tile_m=tiles[1])
+            return knn_pallas(q_xyz, r_xyz, r_mask, k, tile_q=tq, tile_m=tm)
     return knn_chunked(q_xyz, r_xyz, r_mask, k, chunk)
 
 
