@@ -425,19 +425,29 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
             return ia, ib, ic, valid
         tiles = _pallas_tiles(q_xyz.shape[0], ref.capacity)
         if tiles:
+            import os
+
             tq, tm = tiles
             ia, da = nn1_mod.nn1_pallas(
                 q_xyz, ref.xyz, ref.mask, tile_q=tq, tile_m=tm
             )
             ring_a = ref.ring[ia]
-            ib, db = nn1_mod.nn1_masked_pallas(
-                q_xyz, ring_a, ia, ref.xyz, ref.ring, ref.mask,
-                "same", ring_span, tile_q=tq, tile_m=tm,
-            )
-            ic, dc = nn1_mod.nn1_masked_pallas(
-                q_xyz, ring_a, ia, ref.xyz, ref.ring, ref.mask,
-                "adj", ring_span, tile_q=tq, tile_m=tm,
-            )
+            if os.environ.get("COOPER_PALLAS_BC", "0") == "1":
+                # B + C on one shared distance tile (2 tiles/refresh not 3);
+                # opt-in pending on-chip measurement
+                ib, db, ic, dc = nn1_mod.bc_races_pallas(
+                    q_xyz, ring_a, ia, ref.xyz, ref.ring, ref.mask,
+                    ring_span, tile_q=tq, tile_m=tm,
+                )
+            else:
+                ib, db = nn1_mod.nn1_masked_pallas(
+                    q_xyz, ring_a, ia, ref.xyz, ref.ring, ref.mask,
+                    "same", ring_span, tile_q=tq, tile_m=tm,
+                )
+                ic, dc = nn1_mod.nn1_masked_pallas(
+                    q_xyz, ring_a, ia, ref.xyz, ref.ring, ref.mask,
+                    "adj", ring_span, tile_q=tq, tile_m=tm,
+                )
             valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
             return ia, ib, ic, valid
     if pallas_mode == "ring":

@@ -233,6 +233,123 @@ def nn1_masked_pallas(q_xyz, ring_a, ia, r_xyz, r_ring, r_mask, mode: str,
     return out[1][:, 0], out[0][:, 0]
 
 
+def _bc_races_kernel(q_ref, qn_ref, ra_ref, ia_ref, r_ref, rn_ref, ring_ref,
+                     ob_min, ob_idx, oc_min, oc_idx, *, tile_m: int,
+                     total_m: int, ring_span: float):
+    """Races B ('same') and C ('adj') on ONE shared distance tile.
+
+    Structurally identical to _nn1_masked_kernel (ra/ia arrive as inputs from
+    race A, streaming fori_loop over reference tiles, running (min, argmin)
+    carries) except both ring masks reduce the SAME ``d`` — the surf search
+    then builds 2 distance tiles per refresh instead of 3.
+    """
+    from jax.experimental import pallas as pl
+
+    q = q_ref[:, :]                       # [TQ, 3]
+    qn = qn_ref[:, :]                     # [TQ, 1]
+    ra = ra_ref[:, :]                     # [TQ, 1] f32 ring of A
+    ia = ia_ref[:, :]                     # [TQ, 1] i32 index of A
+    tq = q.shape[0]
+    n_tiles = total_m // tile_m
+
+    def tile_body(t, carry):
+        best_b, bidx_b, best_c, bidx_c = carry
+        off = t * tile_m
+        r = r_ref[pl.ds(off, tile_m), :]        # [TM, 3]
+        rn = rn_ref[:, pl.ds(off, tile_m)]      # [1, TM]
+        ring = ring_ref[:, pl.ds(off, tile_m)]  # [1, TM]
+        d = (
+            qn
+            - 2.0 * jax.lax.dot_general(
+                q, r, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + rn
+        )                                  # [TQ, TM]
+        cols = off + jax.lax.broadcasted_iota(jnp.int32, (tq, tile_m), 1)
+
+        db = jnp.where((ring == ra) & (cols != ia), d, BIG)
+        m = jnp.min(db, axis=-1, keepdims=True)
+        a = off + jnp.argmin(db, axis=-1, keepdims=True).astype(jnp.int32)
+        upd = m < best_b
+        best_b = jnp.where(upd, m, best_b)
+        bidx_b = jnp.where(upd, a, bidx_b)
+
+        rd = jnp.abs(ring - ra)
+        dc = jnp.where((rd > 0.0) & (rd <= ring_span), d, BIG)
+        m = jnp.min(dc, axis=-1, keepdims=True)
+        a = off + jnp.argmin(dc, axis=-1, keepdims=True).astype(jnp.int32)
+        upd = m < best_c
+        best_c = jnp.where(upd, m, best_c)
+        bidx_c = jnp.where(upd, a, bidx_c)
+        return best_b, bidx_b, best_c, bidx_c
+
+    init = (
+        jnp.full(ob_min.shape, BIG, jnp.float32),
+        jnp.zeros(ob_idx.shape, jnp.int32),
+        jnp.full(oc_min.shape, BIG, jnp.float32),
+        jnp.zeros(oc_idx.shape, jnp.int32),
+    )
+    best_b, bidx_b, best_c, bidx_c = jax.lax.fori_loop(
+        0, n_tiles, tile_body, init
+    )
+    ob_min[:, :] = best_b
+    ob_idx[:, :] = bidx_b
+    oc_min[:, :] = best_c
+    oc_idx[:, :] = bidx_c
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ring_span", "tile_q", "tile_m", "interpret")
+)
+def bc_races_pallas(q_xyz, ring_a, ia, r_xyz, r_ring, r_mask,
+                    ring_span: float = 2.5, tile_q: int = 256,
+                    tile_m: int = 512, interpret: bool = False):
+    """Surf races B and C in one kernel: (ib [Q], db [Q], ic [Q], dc [Q]).
+
+    Selections identical to two nn1_masked_pallas calls ('same' then 'adj')
+    — same masks, same tie-breaking — at 1 shared distance tile instead of 2.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q, M = q_xyz.shape[0], r_xyz.shape[0]
+    assert Q % tile_q == 0 and M % tile_m == 0, (Q, M, tile_q, tile_m)
+
+    qn = jnp.sum(q_xyz * q_xyz, axis=-1, keepdims=True)            # [Q, 1]
+    rn = jnp.sum(r_xyz * r_xyz, axis=-1)                           # [M]
+    rn = jnp.where(r_mask, rn, BIG)[None, :]                       # [1, M]
+    ringf = jnp.where(r_mask, r_ring.astype(jnp.float32), 1e9)[None, :]
+    ra = ring_a.astype(jnp.float32)[:, None]                       # [Q, 1]
+    ia2 = ia.astype(jnp.int32)[:, None]                            # [Q, 1]
+
+    kernel = functools.partial(
+        _bc_races_kernel, tile_m=tile_m, total_m=M, ring_span=float(ring_span)
+    )
+    vm = pltpu.VMEM
+    qv = pl.BlockSpec((tile_q, 1), lambda i: (i, 0), memory_space=vm)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Q // tile_q,),
+        in_specs=[
+            pl.BlockSpec((tile_q, 3), lambda i: (i, 0), memory_space=vm),
+            qv, qv, qv,
+            pl.BlockSpec((M, 3), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=vm),
+        ],
+        out_specs=[qv] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Q, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Q, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_xyz, qn, ra, ia2, r_xyz, rn, ringf)
+    return out[1][:, 0], out[0][:, 0], out[3][:, 0], out[2][:, 0]
+
+
 def _fused_races_kernel(q_ref, qn_ref, r_ref, rn_ref, ring_ref, *outs,
                         with_same: bool, ring_span: float):
     """All races of one correspondence search on a single distance tile.

@@ -168,6 +168,35 @@ class TestNN1Pallas:
         np.testing.assert_array_equal(np.asarray(ia_f)[sel], np.asarray(ia_c)[sel])
         np.testing.assert_array_equal(np.asarray(ib_f)[sel], np.asarray(ib_c)[sel])
 
+    def test_bc_races_match_masked_kernels(self):
+        # the combined B/C kernel must reproduce the two nn1_masked_pallas
+        # calls exactly (same masks, same tie-breaking) on every query
+        rng = np.random.RandomState(5)
+        Q, M, R = 128, 256, 16
+        q = jnp.asarray(rng.uniform(-8, 8, (Q, 3)), jnp.float32)
+        ref = _ring_cloud(rng, M, R)
+        ia, da = nn1_mod.nn1_pallas(q, ref.xyz, ref.mask, tile_q=128,
+                                    tile_m=128, interpret=True)
+        ring_a = ref.ring[ia]
+        ib_m, db_m = nn1_mod.nn1_masked_pallas(
+            q, ring_a, ia, ref.xyz, ref.ring, ref.mask, "same", 2.5,
+            tile_q=128, tile_m=128, interpret=True,
+        )
+        ic_m, dc_m = nn1_mod.nn1_masked_pallas(
+            q, ring_a, ia, ref.xyz, ref.ring, ref.mask, "adj", 2.5,
+            tile_q=128, tile_m=128, interpret=True,
+        )
+        ib, db, ic, dc = nn1_mod.bc_races_pallas(
+            q, ring_a, ia, ref.xyz, ref.ring, ref.mask, 2.5,
+            tile_q=128, tile_m=128, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ib), np.asarray(ib_m))
+        np.testing.assert_array_equal(np.asarray(ic), np.asarray(ic_m))
+        np.testing.assert_allclose(np.asarray(db), np.asarray(db_m),
+                                   rtol=1e-6, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dc), np.asarray(dc_m),
+                                   rtol=1e-6, atol=1e-5)
+
     def test_fused_races_exclude_a_itself(self):
         # fused 'same' race must never return A even when A is duplicated
         q = jnp.asarray(np.tile([[1.0, 0.0, 0.0]], (128, 1)), jnp.float32)
