@@ -29,10 +29,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STEPS = [
     ("headline_dense", [sys.executable, "bench.py"],
      {"COOPER_USE_PALLAS": "0"}, 1500),
-    ("headline_window48", [sys.executable, "bench.py"],
-     {"BENCH_NN_WINDOW": "48", "COOPER_USE_PALLAS": "0"}, 1500),
-    ("headline_window48_pallas", [sys.executable, "bench.py"],
-     {"BENCH_NN_WINDOW": "48", "COOPER_USE_PALLAS": "1"}, 2400),
+    # the windowed-search A/B (headline_window48*) is retired: measured 19x
+    # slower than dense post-layout-fix and documented as a dead end in
+    # BENCH.md "Known floor" (battery r3 keeps the last recorded numbers)
     # default path: ALL races as streaming VMEM kernels, full-M tiles
     ("headline_dense_pallas", [sys.executable, "bench.py"],
      {"COOPER_USE_PALLAS": "1"}, 2400),
