@@ -94,7 +94,8 @@ def knn_search(q_xyz, r_xyz, r_mask, k: int, chunk: int = 512):
         if tq and tm:
             from .pallas.knn_stream import knn_pallas
 
-            return knn_pallas(q_xyz, r_xyz, r_mask, k, tile_q=tq, tile_m=tm)
+            return knn_pallas(q_xyz, r_xyz, r_mask, k, tile_q=tq, tile_m=tm,
+                              interpret=_interpret())
     return knn_chunked(q_xyz, r_xyz, r_mask, k, chunk)
 
 
@@ -108,12 +109,23 @@ def _pallas_mode() -> str:
     one pass over the reference but a 3D-masked program whose Mosaic compile
     exceeds 10 minutes through the axon remote-compile path.
     Unset/other — the dense XLA formulation.
+
+    ``COOPER_PALLAS_INTERPRET=1`` additionally honors the mode on non-TPU
+    backends and runs the kernels in Pallas interpreter mode — the dispatch
+    plumbing (argument wiring, return ordering, tile choices) then runs under
+    the CPU test suite instead of only on the chip.
     """
     import os
 
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not _interpret():
         return ""
     return os.environ.get("COOPER_USE_PALLAS", "")
+
+
+def _interpret() -> bool:
+    import os
+
+    return os.environ.get("COOPER_PALLAS_INTERPRET", "0") == "1"
 
 
 def _pallas_tiles(q: int, m: int):
@@ -268,7 +280,8 @@ def _race_a(q_xyz, ref, precision):
             from .pallas import nn1 as nn1_mod
 
             return nn1_mod.nn1_pallas(
-                q_xyz, ref.xyz, ref.mask, tile_q=tiles[0], tile_m=tiles[1]
+                q_xyz, ref.xyz, ref.mask, tile_q=tiles[0], tile_m=tiles[1],
+                interpret=_interpret(),
             )
     d = _race_dist(q_xyz, ref, precision)
     return jnp.argmin(d, axis=-1), jnp.min(d, axis=-1)
@@ -331,7 +344,7 @@ def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
         if ftq:
             ia, da, ib, db = nn1_mod.fused_races_pallas(
                 q_xyz, ref.xyz, ref.ring, ref.mask, with_same=False,
-                ring_span=ring_span, tile_q=ftq,
+                ring_span=ring_span, tile_q=ftq, interpret=_interpret(),
             )
             valid = (da < max_sq_dist) & (db < max_sq_dist)
             return ia, ib, valid
@@ -339,11 +352,13 @@ def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
         if tiles:
             tq, tm = tiles
             ia, da = nn1_mod.nn1_pallas(
-                q_xyz, ref.xyz, ref.mask, tile_q=tq, tile_m=tm
+                q_xyz, ref.xyz, ref.mask, tile_q=tq, tile_m=tm,
+                interpret=_interpret(),
             )
             ib, db = nn1_mod.nn1_masked_pallas(
                 q_xyz, ref.ring[ia], ia, ref.xyz, ref.ring, ref.mask,
                 "adj", ring_span, tile_q=tq, tile_m=tm,
+                interpret=_interpret(),
             )
             valid = (da < max_sq_dist) & (db < max_sq_dist)
             return ia, ib, valid
@@ -419,7 +434,7 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
         if ftq:
             ia, da, ib, db, ic, dc = nn1_mod.fused_races_pallas(
                 q_xyz, ref.xyz, ref.ring, ref.mask, with_same=True,
-                ring_span=ring_span, tile_q=ftq,
+                ring_span=ring_span, tile_q=ftq, interpret=_interpret(),
             )
             valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
             return ia, ib, ic, valid
@@ -429,7 +444,8 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
 
             tq, tm = tiles
             ia, da = nn1_mod.nn1_pallas(
-                q_xyz, ref.xyz, ref.mask, tile_q=tq, tile_m=tm
+                q_xyz, ref.xyz, ref.mask, tile_q=tq, tile_m=tm,
+                interpret=_interpret(),
             )
             ring_a = ref.ring[ia]
             if os.environ.get("COOPER_PALLAS_BC", "0") == "1":
@@ -437,16 +453,18 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
                 # opt-in pending on-chip measurement
                 ib, db, ic, dc = nn1_mod.bc_races_pallas(
                     q_xyz, ring_a, ia, ref.xyz, ref.ring, ref.mask,
-                    ring_span, tile_q=tq, tile_m=tm,
+                    ring_span, tile_q=tq, tile_m=tm, interpret=_interpret(),
                 )
             else:
                 ib, db = nn1_mod.nn1_masked_pallas(
                     q_xyz, ring_a, ia, ref.xyz, ref.ring, ref.mask,
                     "same", ring_span, tile_q=tq, tile_m=tm,
+                    interpret=_interpret(),
                 )
                 ic, dc = nn1_mod.nn1_masked_pallas(
                     q_xyz, ring_a, ia, ref.xyz, ref.ring, ref.mask,
                     "adj", ring_span, tile_q=tq, tile_m=tm,
+                    interpret=_interpret(),
                 )
             valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
             return ia, ib, ic, valid

@@ -217,6 +217,61 @@ class TestNN1Pallas:
         assert int(ia[0]) == 0
         assert int(ib[0]) == 1 and float(db[0]) < 1e-6
 
+    def test_dispatch_plumbing_interpret_mode(self, monkeypatch):
+        # COOPER_PALLAS_INTERPRET=1 routes the real dispatch (corner_pairs /
+        # surf_triples / knn_search with COOPER_USE_PALLAS set) through the
+        # kernels in interpreter mode on CPU — argument wiring, return
+        # ordering and tile choices are then covered by the suite instead of
+        # only by on-chip runs.  All three dispatch variants must agree with
+        # the dense searches.
+        rng = np.random.RandomState(21)
+        Q, M, R = 128, 256, 16
+        q = jnp.asarray(rng.uniform(-8, 8, (Q, 3)), jnp.float32)
+        ref = _ring_cloud(rng, M, R)
+        max_sq = 25.0
+
+        ia_d, ib_d, ic_d, ok_d = neighbors.surf_triples(
+            q, ref, max_sq, ring_span=2.5, n_rings=R
+        )
+        ia_c, ib_c, ok_c = neighbors.corner_pairs(
+            q, ref, max_sq, ring_span=2.5, n_rings=R
+        )
+        idx_d, d_d = neighbors.knn(q, ref.xyz, ref.mask, 5)
+
+        monkeypatch.setenv("COOPER_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("COOPER_USE_PALLAS", "1")
+        variants = [{}, {"COOPER_PALLAS_BC": "1"},
+                    {"COOPER_PALLAS_FUSED": "1"}]
+        for extra in variants:
+            for k, v in extra.items():
+                monkeypatch.setenv(k, v)
+            ia_p, ib_p, ic_p, ok_p = neighbors.surf_triples(
+                q, ref, max_sq, ring_span=2.5, n_rings=R
+            )
+            np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_d),
+                                          err_msg=str(extra))
+            sel = np.asarray(ok_d)
+            for got, want in ((ia_p, ia_d), (ib_p, ib_d), (ic_p, ic_d)):
+                np.testing.assert_array_equal(
+                    np.asarray(got)[sel], np.asarray(want)[sel],
+                    err_msg=str(extra))
+            ia_cp, ib_cp, ok_cp = neighbors.corner_pairs(
+                q, ref, max_sq, ring_span=2.5, n_rings=R
+            )
+            np.testing.assert_array_equal(np.asarray(ok_cp), np.asarray(ok_c))
+            sel = np.asarray(ok_c)
+            np.testing.assert_array_equal(np.asarray(ia_cp)[sel],
+                                          np.asarray(ia_c)[sel])
+            np.testing.assert_array_equal(np.asarray(ib_cp)[sel],
+                                          np.asarray(ib_c)[sel])
+            for k in extra:
+                monkeypatch.delenv(k)
+
+        idx_p, d_p = neighbors.knn_search(q, ref.xyz, ref.mask, 5)
+        np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_d))
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_d),
+                                   rtol=1e-5, atol=1e-4)
+
     def test_vmap_batches_cleanly(self):
         # the batched odometry solve vmaps the search over sweep problems
         qs, rs, ms = [], [], []
