@@ -70,15 +70,53 @@ def main():
             return out / jnp.maximum(jnp.linalg.norm(out), 1e-20)
         return jax.lax.fori_loop(0, reps, body, v)
 
+    # degree-capped gather: per-node list of incident (contribution) slots in
+    # the concat(ci, cj) array, padded to the max degree (host-side build —
+    # the graph's edge lists are static per optimize)
+    dest_h = np.asarray(dest)
+    active = np.concatenate([np.asarray(graph.edge_mask)] * 2)
+    # masked-out slots contribute exact zeros (their H blocks are zeroed at
+    # assembly), so the adjacency only lists ACTIVE contribution slots
+    Dmax = int(np.bincount(dest_h[active], minlength=n).max())
+    adj = np.full((n, Dmax), 2 * E, np.int32)       # 2E = padding slot
+    fill = np.zeros(n, np.int32)
+    for slot, node in enumerate(dest_h):
+        if active[slot]:
+            adj[node, fill[node]] = slot
+            fill[node] += 1
+    adj_j = jnp.asarray(adj)
+
+    @jax.jit
+    def hvp_gather_chain(v):
+        def one(v):
+            vi = v[graph.edge_i]
+            vj = v[graph.edge_j]
+            ci = jnp.einsum("epq,eq->ep", H_ii, vi) + jnp.einsum(
+                "epq,eq->ep", H_ij, vj)
+            cj = jnp.einsum("eqp,eq->ep", H_ij, vi) + jnp.einsum(
+                "epq,eq->ep", H_jj, vj)
+            contrib = jnp.concatenate(
+                [ci, cj, jnp.zeros((1, 6), ci.dtype)])  # [2E+1, 6]
+            out = jnp.sum(contrib[adj_j], axis=1)       # [N, D, 6] -> [N, 6]
+            return out + damp * v
+
+        def body(k, v):
+            out = one(v)
+            return out / jnp.maximum(jnp.linalg.norm(out), 1e-20)
+        return jax.lax.fori_loop(0, reps, body, v)
+
     v0 = jnp.asarray(np.random.RandomState(0).randn(n, 6), jnp.float32)
     a = jax.device_get(hvp_scatter_chain(v0))
     b = jax.device_get(hvp_cumsum_chain(v0))
-    err = np.abs(a - b).max()
-    print(f"n={n} E={E} chain of {reps} HVPs, max|scatter-cumsum|={err:.2e}",
-          flush=True)
+    c = jax.device_get(hvp_gather_chain(v0))
+    print(f"n={n} E={E} Dmax={Dmax} chain of {reps} HVPs: "
+          f"max|scatter-cumsum|={np.abs(a-b).max():.2e} "
+          f"max|scatter-gather|={np.abs(a-c).max():.2e}", flush=True)
 
     rng = np.random.RandomState(1)
-    for name, fn in (("scatter", hvp_scatter_chain), ("cumsum", hvp_cumsum_chain)):
+    for name, fn in (("scatter", hvp_scatter_chain),
+                     ("cumsum", hvp_cumsum_chain),
+                     ("gather", hvp_gather_chain)):
         dts = []
         for _ in range(4):
             v = jnp.asarray(rng.randn(n, 6), jnp.float32)
