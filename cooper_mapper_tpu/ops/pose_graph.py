@@ -249,8 +249,14 @@ def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()):
     n = graph.poses.shape[0]
 
     def solve_dense(graph, lam):
+        # H is SPD by construction (J^T W J + positive gauge/LM diagonal), so
+        # factor with Cholesky: TPU LU-with-partial-pivoting serializes on row
+        # selection and measures 62x slower at [1536, 1536]
+        # (benchmarks/exp_dense_solve.py: 2617 ms vs 42 ms per solve on chip)
         H, g, _, _ = _assemble(graph, lam)
-        return -jnp.linalg.solve(H, g[:, None])[:, 0]
+        L = jnp.linalg.cholesky(H)
+        y = jax.scipy.linalg.solve_triangular(L, -g, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
     def solve_cg(graph, lam):
         H_ii, H_jj, H_ij, g, _ = _edge_blocks(graph)

@@ -146,7 +146,11 @@ def sharded_pose_graph_optimize(graph: pg.PoseGraph, cfg: PoseGraphConfig, mesh)
         diag_boost = jnp.zeros(n).at[0].set(1e6)
         diag_boost = jnp.where(graph.node_mask, diag_boost, 1e6)
         H = H + jnp.diag(jnp.repeat(diag_boost, 6) + lam * (jnp.diagonal(H) + 1.0))
-        dx = -jnp.linalg.solve(H, g[:, None])[:, 0]
+        # SPD damped system: Cholesky, not LU — TPU LU-with-pivoting measures
+        # 62x slower at [1536, 1536] (benchmarks/exp_dense_solve.py)
+        L = jnp.linalg.cholesky(H)
+        y = jax.scipy.linalg.solve_triangular(L, -g, lower=True)
+        dx = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         cand = pg._apply_update(graph, dx)
         _, _, new_cost = assemble(
