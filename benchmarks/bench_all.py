@@ -43,8 +43,14 @@ STEPS = [
     ("scan_to_map_b64_pallas", [sys.executable,
                                 "benchmarks/bench_scan_match.py", "64"],
      {"COOPER_USE_PALLAS": "1"}, 2400),
+    ("scan_to_map_b256_pallas", [sys.executable,
+                                 "benchmarks/bench_scan_match.py", "256"],
+     {"COOPER_USE_PALLAS": "1"}, 2400),
     ("pose_graph_dense_n256", [sys.executable, "benchmarks/bench_pose_graph.py",
                                "256", "dense"], {}, 1500),
+    ("pose_graph_dense_n1024", [sys.executable,
+                                "benchmarks/bench_pose_graph.py",
+                                "1024", "dense"], {}, 1500),
     ("pose_graph_pcg_n1024", [sys.executable, "benchmarks/bench_pose_graph.py",
                               "1024", "pcg"], {}, 1500),
     ("pose_graph_pcg_n4096", [sys.executable, "benchmarks/bench_pose_graph.py",
@@ -71,6 +77,11 @@ STEPS = [
     ("pipeline_tpu_demo", [sys.executable, "examples/demo_mapping.py", "20",
                            "/tmp/cooper_demo_map_tpu"],
      {"COOPER_XLA_TRACE": "bench_artifacts/xla_trace_demo"}, 2400),
+    # same demo with the streaming Pallas kernels on: end-to-end on-chip
+    # correctness of the kernels (ATE must match) + mapping-stage speedup
+    ("pipeline_tpu_demo_pallas", [sys.executable, "examples/demo_mapping.py",
+                                  "20", "/tmp/cooper_demo_map_tpu_pallas"],
+     {"COOPER_USE_PALLAS": "1"}, 2400),
 ]
 
 

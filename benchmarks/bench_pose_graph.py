@@ -73,22 +73,27 @@ def main():
     out, diag = pg.optimize(graph, cfg)  # compile + warmup
     jax.block_until_ready(out.poses)
 
-    reps = 3
-    # vary the start point per rep (execution-cache guard) by jittering poses
+    reps = 5
+    # vary the start point per rep (execution-cache guard) by jittering poses;
+    # time each rep INDIVIDUALLY and take the best — the relay time-slices the
+    # chip between tenants, so any single dispatch can sit in a server-side
+    # queue for seconds; the mean measures congestion, the best rep measures
+    # the device (same policy as bench.py; battery r3's first pose-graph
+    # capture averaged co-dispatched reps and read 0.14 iters/s for a path
+    # whose best-of slope is 388 iters/s, exp_pg_slope)
     rng = np.random.RandomState(1)
-    graphs = [
-        dataclasses.replace(
+    dts = []
+    for _ in range(reps):
+        g = dataclasses.replace(
             graph,
             poses=graph.poses.at[:, 0, 3].add(
                 jnp.asarray(1e-4 * rng.randn(n), jnp.float32)
             ),
         )
-        for _ in range(reps)
-    ]
-    t0 = time.perf_counter()
-    outs = [pg.optimize(g, cfg) for g in graphs]
-    jax.device_get([o[0].poses for o in outs])
-    dt = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        jax.device_get(pg.optimize(g, cfg)[0].poses)
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
 
     print({
         "nodes": n, "edges": int(np.asarray(jnp.sum(graph.edge_mask))),
