@@ -60,6 +60,9 @@ STEPS = [
     ("pose_graph_pcg_n1024_i100", [sys.executable,
                                    "benchmarks/bench_pose_graph.py",
                                    "1024", "pcg", "100"], {}, 1500),
+    ("pose_graph_pcg_n4096_i100", [sys.executable,
+                                   "benchmarks/bench_pose_graph.py",
+                                   "4096", "pcg", "100"], {}, 1500),
     ("ukf_fusion_b4096", [sys.executable, "benchmarks/bench_ukf.py", "4096",
                           "20"], {}, 2400),
     ("ukf_fusion_b512", [sys.executable, "benchmarks/bench_ukf.py", "512",
@@ -70,8 +73,12 @@ STEPS = [
      {}, 2400),
     ("hetero_b4096", [sys.executable, "benchmarks/bench_hetero.py", "4096"],
      {}, 3000),
+    ("hetero_b512_pallas", [sys.executable, "benchmarks/bench_hetero.py",
+                            "512"], {"COOPER_USE_PALLAS": "1"}, 2400),
+    ("hetero_b4096_pallas", [sys.executable, "benchmarks/bench_hetero.py",
+                             "4096"], {"COOPER_USE_PALLAS": "1"}, 3000),
     ("scaling_tpu_point", [sys.executable, "benchmarks/bench_scaling.py",
-                           "256"], {}, 1500),
+                           "256"], {"COOPER_USE_PALLAS": "1"}, 1500),
     # full SLAM stack on the chip: demo pipeline with per-stage timers and
     # an XLA trace artifact (SURVEY §5 tracing; round-1 task 5)
     ("pipeline_tpu_demo", [sys.executable, "examples/demo_mapping.py", "20",

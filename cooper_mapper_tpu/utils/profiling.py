@@ -31,6 +31,7 @@ class StageTimer:
     def __init__(self) -> None:
         self.total_s: Dict[str, float] = defaultdict(float)
         self.calls: Dict[str, int] = defaultdict(int)
+        self.first_s: Dict[str, float] = {}
 
     @contextlib.contextmanager
     def stage(self, name: str, sync=None) -> Iterator[None]:
@@ -42,24 +43,36 @@ class StageTimer:
         finally:
             if sync is not None:
                 jax.block_until_ready(sync())
-            self.total_s[name] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            self.total_s[name] += dt
             self.calls[name] += 1
+            self.first_s.setdefault(name, dt)
 
     def report(self) -> str:
-        """The reference's destructor-counter printout, on demand."""
+        """The reference's destructor-counter printout, on demand.
+
+        ``steady`` excludes each stage's FIRST call: on TPU that call pays
+        the (remote) XLA/Mosaic compile, so the raw mean can overstate the
+        per-call cost by an order of magnitude for rarely-called stages.
+        """
         lines = []
         for name in sorted(self.total_s, key=self.total_s.get, reverse=True):
             n = self.calls[name]
             tot = self.total_s[name]
-            lines.append(
+            line = (
                 f"{name:<28s} {n:6d} calls  {tot * 1e3:10.1f} ms total"
                 f"  {tot / max(n, 1) * 1e3:8.2f} ms/call"
             )
+            if n > 1:
+                steady = (tot - self.first_s[name]) / (n - 1)
+                line += f"  {steady * 1e3:8.2f} ms/call steady"
+            lines.append(line)
         return "\n".join(lines)
 
     def reset(self) -> None:
         self.total_s.clear()
         self.calls.clear()
+        self.first_s.clear()
 
 
 @contextlib.contextmanager
