@@ -63,6 +63,11 @@ STEPS = [
     ("pose_graph_pcg_n4096_i100", [sys.executable,
                                    "benchmarks/bench_pose_graph.py",
                                    "4096", "pcg", "100"], {}, 1500),
+    # 32 inner CG steps converge the outer LM identically on this graph
+    # class at +31% throughput (BENCH.md config-3 note)
+    ("pose_graph_pcg_n4096_i100_p32", [sys.executable,
+                                       "benchmarks/bench_pose_graph.py",
+                                       "4096", "pcg", "100", "32"], {}, 1500),
     ("ukf_fusion_b4096", [sys.executable, "benchmarks/bench_ukf.py", "4096",
                           "20"], {}, 2400),
     ("ukf_fusion_b512", [sys.executable, "benchmarks/bench_ukf.py", "512",

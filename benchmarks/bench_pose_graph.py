@@ -6,7 +6,7 @@ iterations per optimize() with wall time printed per run
 configurable node count and measures full LM iterations/s for both inner
 solvers (dense Cholesky vs matrix-free block-Jacobi PCG).
 
-Usage: python benchmarks/bench_pose_graph.py [n_nodes] [solver] [lm_iters]
+Usage: python benchmarks/bench_pose_graph.py [n_nodes] [solver] [lm_iters] [pcg_iters]
 
 ``lm_iters`` defaults to 20; the reference budgets up to 1000 LM iterations
 per optimize (solver_g2o.cpp:79-95), so a larger-budget point additionally
@@ -66,8 +66,9 @@ def main():
     solver = sys.argv[2] if len(sys.argv) > 2 else "cg"
     solver = {"pcg": "cg"}.get(solver, solver)  # alias
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    pcg_iters = int(sys.argv[4]) if len(sys.argv) > 4 else 64
     cfg = PoseGraphConfig(max_nodes=n, max_edges=2 * n, max_iterations=iters,
-                          solver=solver, pcg_iters=64)
+                          solver=solver, pcg_iters=pcg_iters)
     graph = build_graph(n)
 
     out, diag = pg.optimize(graph, cfg)  # compile + warmup
