@@ -72,9 +72,7 @@ def main():
     # full 'highest' matmul precision everywhere: nn_precision='high' buys
     # ~4.5% more throughput but can flip NN ties (pose deltas at the solver's
     # own 0.1 deg/0.1 cm convergence tolerance) — not worth it here
-    # BENCH_NN_WINDOW > 0 switches the B/C partner searches to the windowed
-    # two-tile formulation (OdometryConfig.nn_window) for the refresh-floor A/B
-    cfg = OdometryConfig(nn_window=int(os.environ.get("BENCH_NN_WINDOW", "0")))
+    cfg = OdometryConfig()
 
     f_prev, f_cur = build_problem()
     tile = lambda t: jax.tree.map(

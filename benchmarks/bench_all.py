@@ -24,14 +24,12 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # (key, argv, extra env, timeout_s)
-# bench.py now defaults COOPER_USE_PALLAS=1 (the measured-fastest path), so
-# the dense-XLA entry pins =0 explicitly
+# kernel_backend="auto" (the round-4 config default) resolves to the
+# streaming Pallas kernels on TPU, so unpinned steps measure what a user
+# gets; dense-XLA entries pin COOPER_USE_PALLAS=0 explicitly for the A/B
 STEPS = [
     ("headline_dense", [sys.executable, "bench.py"],
      {"COOPER_USE_PALLAS": "0"}, 1500),
-    # the windowed-search A/B (headline_window48*) is retired: measured 19x
-    # slower than dense post-layout-fix and documented as a dead end in
-    # BENCH.md "Known floor" (battery r3 keeps the last recorded numbers)
     # default path: ALL races as streaming VMEM kernels, full-M tiles
     ("headline_dense_pallas", [sys.executable, "bench.py"],
      {"COOPER_USE_PALLAS": "1"}, 2400),
@@ -82,15 +80,21 @@ STEPS = [
                             "512"], {"COOPER_USE_PALLAS": "1"}, 2400),
     ("hetero_b4096_pallas", [sys.executable, "benchmarks/bench_hetero.py",
                              "4096"], {"COOPER_USE_PALLAS": "1"}, 3000),
+    # dense/pallas split kept under distinct keys so cross-round comparisons
+    # compare like with like (ADVICE r3)
     ("scaling_tpu_point", [sys.executable, "benchmarks/bench_scaling.py",
-                           "256"], {"COOPER_USE_PALLAS": "1"}, 1500),
+                           "256"], {"COOPER_USE_PALLAS": "0"}, 1500),
+    ("scaling_tpu_point_pallas", [sys.executable, "benchmarks/bench_scaling.py",
+                                  "256"], {"COOPER_USE_PALLAS": "1"}, 1500),
     # full SLAM stack on the chip: demo pipeline with per-stage timers and
     # an XLA trace artifact (SURVEY §5 tracing; round-1 task 5)
     ("pipeline_tpu_demo", [sys.executable, "examples/demo_mapping.py", "20",
                            "/tmp/cooper_demo_map_tpu"],
-     {"COOPER_XLA_TRACE": "bench_artifacts/xla_trace_demo"}, 2400),
+     {"COOPER_USE_PALLAS": "0",
+      "COOPER_XLA_TRACE": "bench_artifacts/xla_trace_demo"}, 2400),
     # same demo with the streaming Pallas kernels on: end-to-end on-chip
-    # correctness of the kernels (ATE must match) + mapping-stage speedup
+    # correctness of the kernels (the captured "ATE rmse" line must match the
+    # dense run within f32 tolerance) + mapping-stage speedup
     ("pipeline_tpu_demo_pallas", [sys.executable, "examples/demo_mapping.py",
                                   "20", "/tmp/cooper_demo_map_tpu_pallas"],
      {"COOPER_USE_PALLAS": "1"}, 2400),
@@ -130,6 +134,12 @@ def run_step(key, argv, env_extra, timeout_s):
     lines = [l for l in r.stdout.strip().splitlines() if l.strip()]
     last = lines[-1] if lines else ""
     rec = {"wall_s": round(wall, 1), "exit": r.returncode}
+    # accuracy lines (e.g. demo_mapping's "ATE rmse: ...") are printed before
+    # the timing tail — record them so a kernel regression that flips the
+    # trajectory cannot pass as exit-0 (ADVICE r3)
+    ate = [l for l in lines if "ATE" in l]
+    if ate:
+        rec["ate_lines"] = ate
     if r.returncode != 0:
         rec["stderr_tail"] = r.stderr.strip().splitlines()[-5:]
     try:

@@ -73,17 +73,11 @@ class OdometryConfig:
     # [Q, M] tile).  Caps peak memory of the batched solve at
     # [B, chunk, M] — set for very large B (memory, not speed)
     nn_query_chunk: int = 0
-    # windowed B/C correspondence search: after the full race for the nearest
-    # neighbor A, find the same-ring / adjacent-ring partners inside an index
-    # window of this width around A in the azimuth-major-sorted reference
-    # cloud — an azimuth-local APPROXIMATION of the reference's ring-band
-    # walk around its kd-tree hit (which is ring-major and spans whole rings
-    # azimuthally, LaserOdometry.cpp:366-382) — instead of re-racing the full
-    # [Q, M] distance tile per partner.  Cuts refresh HBM traffic from 5
-    # tiles to 2.  Must be 0 (off: full-tile races, global minima) or
-    # >= 3 * n_rings (validated at trace time; narrower windows silently
-    # lose all same-ring partners)
-    nn_window: int = 0
+    # NN kernel selection: "auto" = streaming Pallas VMEM kernels on TPU
+    # (with a probe-compile fallback to dense), dense XLA races elsewhere;
+    # "pallas"/"dense" force a path.  COOPER_USE_PALLAS=0/1 overrides for
+    # experiments (ops/neighbors.resolve_backend)
+    kernel_backend: str = "auto"
     # MXU precision of the NN cross-term matmul only (None = package default,
     # 'highest').  'high' = 3-pass bf16: ~5% faster solves, but near-tie NN
     # races can flip, perturbing poses at the convergence-tolerance scale
@@ -134,20 +128,15 @@ class ScanMatchConfig:
     # scanMatchLocal downsample leaves (:29-30)
     local_corner_leaf: float = 0.2
     local_surf_leaf: float = 0.4
-    # bucket-grid correspondence search (the per-cube kd-tree equivalent).
-    # cell < sqrt(nn_sq_dist_max) trades exact far-gate coverage (the 27-cell
-    # neighborhood spans >= 1.25 m) for 4x lower bucket density — measured
-    # identical solutions to the dense search on voxel-leaf feature clouds.
-    # Default OFF: on TPU the batched bucket query (a [Q, 27*cap] gather from
-    # a [2^17, cap] table per problem) measured ~10x SLOWER than the dense
-    # masked-distance race at batch 64 surround sizes, and the vmapped
-    # 10-iteration solve with it faults the TPU worker (round-3 probe,
-    # benchmarks/probe_scan_match.py).  The MXU eats the dense [Q, M] tiles;
-    # keep the bucket path for host-side / small-problem use.
-    use_bucket_grid: bool = False
-    bucket_cell: float = 1.25
-    bucket_hash_bits: int = 17
-    bucket_capacity: int = 64
+    # 5-NN kernel selection — see OdometryConfig.kernel_backend.  The
+    # streaming Pallas top-k (ops/pallas/knn_stream.py) measures 10x the
+    # dense path on surround-map-sized references (BENCH.md round 3).  A
+    # grid-bucketed search (the per-cube kd-tree equivalent) was tried and
+    # retired in round 4: the batched bucket query (a [Q, 27*cap] gather
+    # from a [2^17, cap] table per problem) measured ~10x SLOWER than the
+    # dense masked-distance race and faulted the TPU worker under vmap
+    # (round-3 probe; conclusions in BENCH.md "Known floor")
+    kernel_backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,9 +159,6 @@ class MapConfig:
     # surround gather capacities (static shapes for the solver)
     surround_corner_capacity: int = 32768
     surround_surf_capacity: int = 65536
-    # bucket grid used for 5-NN within the surround cloud
-    bucket_size: float = 2.0
-    bucket_capacity: int = 32
     # vertical-FOV active-area cull (DynamicFeatureMap::InVerticalFov,
     # DynamicFeatureMap.h:748-804): surround cubes whose vertical angle from
     # the sensor lies outside [-down, +up] degrees contribute nothing.  The

@@ -28,18 +28,16 @@ CORNER, SURF = 0, 1
 def save_feature_map(state: fm.FeatureMapState, cfg: MapConfig, directory: str) -> int:
     """Dump non-empty cubes.  Returns the number of cubes written."""
     os.makedirs(directory, exist_ok=True)
-    nx, ny, nz = cfg.n_cubes
-    origin = np.asarray(state.origin)
     rows = []
     written = 0
+    # slot -> world cube index under the toroidal addressing
+    slot_world = fm.slot_world_index(np.asarray(state.origin), cfg.n_cubes)
     for type_id, cc in ((CORNER, state.corner), (SURF, state.surf)):
         counts = np.asarray(cc.count)
         xyz = np.asarray(cc.xyz)
         mask = np.asarray(cc.mask)
         for flat in np.nonzero(counts > 0)[0]:
-            i, rem = divmod(int(flat), ny * nz)
-            j, k = divmod(rem, nz)
-            wi, wj, wk = origin[0] + i, origin[1] + j, origin[2] + k
+            wi, wj, wk = (int(v) for v in slot_world[int(flat)])
             pts = xyz[flat][mask[flat]]
             name = f"cube_{type_id}_{wi}_{wj}_{wk}.pcd"
             pcd.write_pcd(os.path.join(directory, name), pts)

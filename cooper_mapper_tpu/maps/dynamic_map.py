@@ -130,16 +130,13 @@ class DynamicFeatureMap:
     def _occupied_keys(self) -> List[Tuple[Key, int, int]]:
         """All (world key, type_id, flat slot) with stored points."""
         cfg = self.cfg
-        _, ny, nz = cfg.n_cubes
-        origin = np.asarray(self.state.origin)
+        slot_world = fm.slot_world_index(np.asarray(self.state.origin),
+                                         cfg.n_cubes)
         out = []
         for type_id, cc in ((0, self.state.corner), (1, self.state.surf)):
             counts = np.asarray(cc.count)
             for flat in np.nonzero(counts > 0)[0]:
-                i, rem = divmod(int(flat), ny * nz)
-                j, k = divmod(rem, nz)
-                key = (int(origin[0] + i), int(origin[1] + j),
-                       int(origin[2] + k))
+                key = tuple(int(v) for v in slot_world[int(flat)])
                 out.append((key, type_id, int(flat)))
         return out
 
@@ -182,13 +179,13 @@ class DynamicFeatureMap:
         origin = np.asarray(self.state.origin)
         corner_counts = np.asarray(self.state.corner.count)
         surf_counts = np.asarray(self.state.surf.count)
-        _, ny, nz = cfg.n_cubes
+        nx, ny, nz = cfg.n_cubes
         keys = []
         for key in self.on_disk:
             local = np.array(key, np.int64) - origin
             if np.any(local < 0) or np.any(local >= dims):
                 continue
-            flat = (local[0] * ny + local[1]) * nz + local[2]
+            flat = (key[0] % nx * ny + key[1] % ny) * nz + key[2] % nz
             if corner_counts[flat] == 0 and surf_counts[flat] == 0:
                 keys.append(key)
         return keys

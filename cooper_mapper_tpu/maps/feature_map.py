@@ -6,8 +6,15 @@ capacity point cubes holding separate corner and surface feature clouds, with
 
 * world->cube indexing (worldToCube, FeatureMap.h:475-487),
 * recentring so the sensor stays >= ``margin`` cubes from the boundary
-  (update/shift, :232-254, :354-376) — implemented as a roll over the cube
-  axes with wrapped-in slabs invalidated,
+  (update/shift, :232-254, :354-376) — implemented with TOROIDAL slot
+  addressing (slot = world cube index mod grid dims): the window origin
+  moves and departing cubes are mask-cleared, but no data ever moves.  The
+  reference physically shifts cube pointers (:354-376); a roll-based port
+  of that (rounds 1-3) moved the whole map through HBM three times per
+  recenter and pinned every cube to a device-dependent slot — the mod
+  addressing deletes the data movement and keeps each world cube's slot
+  (and therefore its shard, see sharded_map.py) stable for the map's
+  lifetime,
 * active-area surround gather (computeActiveAera/getSurroundFeature,
   :256-352) — a static neighborhood of cube slots around the sensor gathered
   into one fixed-capacity Cloud,
@@ -81,7 +88,12 @@ def world_to_cube(xyz, cfg: MapConfig):
 
 
 def _grid_index(cube_idx, origin, cfg: MapConfig):
-    """World cube index [.., 3] -> flat grid slot + in-grid mask."""
+    """World cube index [.., 3] -> flat grid slot + in-window mask.
+
+    Toroidal: the slot is the world index mod the grid dims, so a world
+    cube keeps its slot across recenters (the window test against
+    ``origin`` decides membership; the slot does not depend on it).
+    """
     nx, ny, nz = cfg.n_cubes
     local = cube_idx - origin
     in_grid = (
@@ -89,8 +101,30 @@ def _grid_index(cube_idx, origin, cfg: MapConfig):
         & (local[..., 1] >= 0) & (local[..., 1] < ny)
         & (local[..., 2] >= 0) & (local[..., 2] < nz)
     )
-    flat = (local[..., 0] * ny + local[..., 1]) * nz + local[..., 2]
+    flat = (
+        jnp.mod(cube_idx[..., 0], nx) * ny + jnp.mod(cube_idx[..., 1], ny)
+    ) * nz + jnp.mod(cube_idx[..., 2], nz)
     return jnp.where(in_grid, flat, nx * ny * nz), in_grid
+
+
+def slot_world_index(origin, n_cubes):
+    """Per-slot world cube index [NC, 3] under the window at ``origin``.
+
+    The inverse of the toroidal slot map: slot coord s on an axis of length
+    n holds the unique world index w = origin + ((s - origin) mod n) inside
+    the window [origin, origin + n).  Host-side numpy (map_io / the dynamic
+    pager use it to name cube files by world index).
+    """
+    import numpy as np
+
+    nx, ny, nz = (int(v) for v in n_cubes)
+    s = np.stack(
+        np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                    indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    o = np.asarray(origin).reshape(1, 3)
+    return o + np.mod(s - o, np.array([nx, ny, nz]))
 
 
 def _insert(cc: CubeCloud, xyz, mask, cube_flat, nc: int) -> CubeCloud:
@@ -148,53 +182,60 @@ def add_feature_cloud(
     )
 
 
-def _roll_invalidate(cc: CubeCloud, shift, cfg: MapConfig) -> CubeCloud:
-    """Shift grid content by -shift cubes (sensor moved +shift), clearing
-    slabs that wrapped around."""
-    nx, ny, nz = cfg.n_cubes
-    cap = cc.xyz.shape[1]
-
-    def grid(a, trailing):
-        return a.reshape((nx, ny, nz) + trailing)
-
-    xyz = grid(cc.xyz, (cap, 3))
-    mask = grid(cc.mask, (cap,))
-    count = grid(cc.count, ())
-
-    for ax in range(3):
-        xyz = jnp.roll(xyz, -shift[ax], axis=ax)
-        mask = jnp.roll(mask, -shift[ax], axis=ax)
-        count = jnp.roll(count, -shift[ax], axis=ax)
-        n_ax = (nx, ny, nz)[ax]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), ax)
-        # after roll by -s: invalid slots are those that wrapped:
-        #   s > 0 -> slots pos >= n - s ; s < 0 -> slots pos < -s
-        s = shift[ax]
-        bad = jnp.where(s >= 0, pos >= n_ax - s, pos < -s)
-        mask = mask & ~bad[..., None]
-        count = jnp.where(bad, 0, count)
-        xyz = jnp.where(bad[..., None, None], cloud_lib.FAR, xyz)
-
-    nc = nx * ny * nz
+def _clear_slots(cc: CubeCloud, keep) -> CubeCloud:
+    """Mask-clear cubes where ``keep`` [NC] is False (no data movement)."""
     return CubeCloud(
-        xyz=xyz.reshape(nc, cap, 3), mask=mask.reshape(nc, cap), count=count.reshape(nc)
+        xyz=jnp.where(keep[:, None, None], cc.xyz, cloud_lib.FAR),
+        mask=cc.mask & keep[:, None],
+        count=jnp.where(keep, cc.count, 0),
     )
+
+
+def window_shift(origin, sensor_pos, cfg: MapConfig):
+    """Cubes to move the window by so the sensor stays >= margin inside
+    (the shift loop of FeatureMap::update, FeatureMap.h:232-254)."""
+    nx, ny, nz = cfg.n_cubes
+    dims = jnp.array([nx, ny, nz], jnp.int32)
+    m = cfg.margin_cubes
+    local = world_to_cube(sensor_pos, cfg) - origin
+    lo = jnp.minimum(local - m, 0)               # how far below margin
+    hi = jnp.maximum(local - (dims - 1 - m), 0)  # how far above
+    return lo + hi
+
+
+def keep_mask_for_window(origin, new_origin, cfg: MapConfig):
+    """Per-slot keep mask [NC]: True iff the slot's world cube under the
+    OLD window also lies inside the NEW window.  Slots that leave are
+    cleared and immediately re-addressable by the entering world cubes
+    (which map to exactly those slots under the mod addressing)."""
+    nx, ny, nz = cfg.n_cubes
+
+    def axis(n_ax, o, no):
+        s = jnp.arange(n_ax, dtype=jnp.int32)
+        w = o + jnp.mod(s - o, n_ax)             # world index per slot coord
+        return (w >= no) & (w < no + n_ax)
+
+    kx = axis(nx, origin[0], new_origin[0])
+    ky = axis(ny, origin[1], new_origin[1])
+    kz = axis(nz, origin[2], new_origin[2])
+    return (kx[:, None, None] & ky[None, :, None] & kz[None, None, :]).reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def recenter(state: FeatureMapState, sensor_pos, cfg: MapConfig) -> FeatureMapState:
-    """Keep the sensor >= margin cubes inside the grid (update/shift)."""
-    nx, ny, nz = cfg.n_cubes
-    dims = jnp.array([nx, ny, nz], jnp.int32)
-    m = cfg.margin_cubes
-    local = world_to_cube(sensor_pos, cfg) - state.origin
-    lo = jnp.minimum(local - m, 0)              # how far below margin
-    hi = jnp.maximum(local - (dims - 1 - m), 0)  # how far above
-    shift = lo + hi                              # cubes to move the window by
+    """Keep the sensor >= margin cubes inside the grid (update/shift).
+
+    Toroidal: only the origin moves; departing cubes are mask-cleared in
+    place.  Zero HBM traffic beyond the masked writes — the roll formulation
+    this replaces moved every cube through HBM three times per recenter.
+    """
+    shift = window_shift(state.origin, sensor_pos, cfg)
+    new_origin = state.origin + shift
+    keep = keep_mask_for_window(state.origin, new_origin, cfg)
     return FeatureMapState(
-        corner=_roll_invalidate(state.corner, shift, cfg),
-        surf=_roll_invalidate(state.surf, shift, cfg),
-        origin=state.origin + shift,
+        corner=_clear_slots(state.corner, keep),
+        surf=_clear_slots(state.surf, keep),
+        origin=new_origin,
     )
 
 

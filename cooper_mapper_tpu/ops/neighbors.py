@@ -6,7 +6,17 @@ distance computation* that rides the MXU: ``||q - r||^2 = ||q||^2 - 2 q.r +
 ||r||^2`` where the cross term is a matmul.  For the feature-cloud sizes of
 this workload (hundreds to a few thousand points after downsampling), the full
 [Q, M] distance tile is small; for the map-sized reference clouds the search is
-restricted by the cube/bucket grid (see maps/feature_map.py).
+restricted by the cube grid (see maps/feature_map.py).
+
+Two code paths, selected by ``resolve_backend`` (config-driven, measured-
+fastest by default on TPU):
+
+* **streaming Pallas kernels** (ops/pallas/{nn1,knn_stream}.py) — the [Q, M]
+  distance tile lives only in VMEM; the default on TPU (10x the dense path
+  on scan-to-map shapes, BENCH.md round 3).
+* **dense XLA races** — masked argmin/top_k over an HBM distance tile; the
+  default everywhere else and the automatic fallback when the Pallas probe
+  fails (a Mosaic regression degrades throughput instead of failing).
 
 All searches honor validity masks via FAR sentinels: invalid reference points
 sit at 1e6 so they can never win a nearest-neighbor race under real gates
@@ -76,14 +86,15 @@ def knn_chunked(q_xyz, r_xyz, r_mask, k: int, chunk: int = 512):
     return idx.reshape(-1, k)[:Q], d.reshape(-1, k)[:Q]
 
 
-def knn_search(q_xyz, r_xyz, r_mask, k: int, chunk: int = 512):
+def knn_search(q_xyz, r_xyz, r_mask, k: int, chunk: int = 512,
+               backend: str = "auto"):
     """k-NN dispatch for the scan-to-map searches.
 
-    On TPU under COOPER_USE_PALLAS=1 and tileable shapes, the streaming
-    Pallas top-k kernel (ops/pallas/knn_stream.py) keeps the [Q, M] distance
-    tile in VMEM; otherwise the query-chunked dense formulation.
+    On the Pallas path (resolve_backend) with tileable shapes, the streaming
+    top-k kernel (ops/pallas/knn_stream.py) keeps the [Q, M] distance tile in
+    VMEM; otherwise the query-chunked dense formulation.
     """
-    if _pallas_mode() == "1":
+    if resolve_backend(backend):
         from .pallas.nn1 import _pick_tile
 
         # the top-k kernel keeps ~3k live [TQ, TM] temporaries per extraction
@@ -99,27 +110,78 @@ def knn_search(q_xyz, r_xyz, r_mask, k: int, chunk: int = 512):
     return knn_chunked(q_xyz, r_xyz, r_mask, k, chunk)
 
 
-def _pallas_mode() -> str:
-    """Pallas dispatch for the dense correspondence searches (TPU only).
+_PALLAS_PROBE: bool | None = None
 
-    ``COOPER_USE_PALLAS=1``    — streaming masked-race kernels (nn1.py): race
-    A plus ring-constrained B/C races, each keeping its distance tile in
-    VMEM; tiny Mosaic programs that compile in seconds.
-    ``COOPER_USE_PALLAS=ring`` — the per-ring-minima kernel (nn_ring.py);
-    one pass over the reference but a 3D-masked program whose Mosaic compile
-    exceeds 10 minutes through the axon remote-compile path.
-    Unset/other — the dense XLA formulation.
 
-    ``COOPER_PALLAS_INTERPRET=1`` additionally honors the mode on non-TPU
-    backends and runs the kernels in Pallas interpreter mode — the dispatch
+def resolve_backend(backend: str = "auto") -> bool:
+    """True = streaming Pallas kernels, False = dense XLA formulation.
+
+    ``backend`` comes from the config (``OdometryConfig.kernel_backend`` /
+    ``ScanMatchConfig.kernel_backend``):
+
+    * ``"auto"``   — the measured-fastest path for the backend: Pallas on
+      TPU (gated on a one-time probe compile so a Mosaic regression degrades
+      to dense instead of failing), dense elsewhere.
+    * ``"pallas"`` — force the streaming kernels (TPU/interpret only).
+    * ``"dense"``  — force the dense XLA races.
+
+    The ``COOPER_USE_PALLAS`` env var (``"1"``/``"0"``) overrides the config
+    for experiments.  ``COOPER_PALLAS_INTERPRET=1`` additionally honors the
+    Pallas path on non-TPU backends in interpreter mode — the dispatch
     plumbing (argument wiring, return ordering, tile choices) then runs under
     the CPU test suite instead of only on the chip.
     """
     import os
 
     if jax.default_backend() != "tpu" and not _interpret():
-        return ""
-    return os.environ.get("COOPER_USE_PALLAS", "")
+        return False
+    env = os.environ.get("COOPER_USE_PALLAS", "")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    if backend == "dense":
+        return False
+    if backend == "pallas":
+        return True
+    if _interpret():
+        return True
+    return _probe_pallas()
+
+
+def _probe_pallas() -> bool:
+    """One-time tiny-kernel compile probe backing backend="auto" on TPU.
+
+    A Mosaic/relay regression at compile time flips every "auto" dispatch in
+    this process to the dense path with a stderr notice; throughput degrades
+    ~10x instead of the pipeline failing.  (A regression that only manifests
+    at large shapes is not caught here — bench.py keeps a whole-solve
+    fallback for that.)  The decision is cached for the process lifetime:
+    jit caches key on the traced dispatch, so flipping later would leave
+    stale compilations around.
+    """
+    global _PALLAS_PROBE
+    if _PALLAS_PROBE is None:
+        try:
+            from .pallas import nn1 as nn1_mod
+
+            q = jnp.zeros((128, 3), jnp.float32)
+            _, d = nn1_mod.nn1_pallas(
+                q, q, jnp.ones((128,), bool), tile_q=128, tile_m=128,
+                interpret=_interpret(),
+            )
+            jax.block_until_ready(d)
+            _PALLAS_PROBE = True
+        except Exception as e:  # pragma: no cover - exercised on chip only
+            import sys
+
+            print(
+                f"cooper_mapper_tpu: Pallas probe failed "
+                f"({type(e).__name__}: {e}); using dense NN kernels",
+                file=sys.stderr, flush=True,
+            )
+            _PALLAS_PROBE = False
+    return _PALLAS_PROBE
 
 
 def _interpret() -> bool:
@@ -169,93 +231,15 @@ def _fused_tile_q(q: int, m: int):
     return _pick_tile(q, (256, 128) if m <= 4096 else (128,))
 
 
-def _ring_minima(q_xyz, ref, n_rings):
-    from .pallas.nn_ring import ring_minima
-
-    return ring_minima(q_xyz, ref.xyz, ref.ring, ref.mask, n_rings)
-
-
-def _select_ring(minv, idxv, ring_sel):
-    """Min over a per-query ring subset: minv [Q, R], ring_sel [Q, R] bool."""
-    m = jnp.where(ring_sel, minv, BIG)
-    r = jnp.argmin(m, axis=-1)
-    take = lambda a: jnp.take_along_axis(a, r[:, None], -1)[:, 0]
-    return take(m), take(idxv)
-
-
-# Implementation note: two interchangeable formulations exist for the
-# ring-structured searches.  The dense masked-argmin form below is fastest
-# under XLA on TPU (the segment-min/ring-minima form in ops/pallas/nn_ring.py
-# lowers to scatter reductions that run ~2x slower; its Pallas kernel avoids
-# the HBM tile entirely but is gated on Mosaic compile cost,
-# COOPER_USE_PALLAS=1).
-#
-# Each argmin race recomputes its own distance tile behind an
-# optimization_barrier: the matmul is nearly free next to the [Q, M] HBM
-# traffic, so rematerializing and letting each reduction fuse with its own
-# producer beats writing the tile once and re-reading it per race (3-race
-# surf search: 126 ms -> 72 ms at [512, 768, 4096] on TPU, bit-identical
-# results — benchmarks/exp_races.py).
-
-
-def _window_candidates(ref, ia, window: int):
-    """Gather a contiguous index window of ``window`` candidates around ia.
-
-    REQUIRES the reference cloud sorted azimuth-major
-    (utils/cloud.sort_azimuth_major, invalid points last): the window then
-    spans all rings at azimuths near the race-1 winner.  This is an
-    *azimuth-local approximation* of the reference's candidate walk — the
-    reference's cloud is ring-major and its index walk breaks only on ring id
-    (LaserOdometry.cpp:366-382), so it spans whole rings azimuthally within
-    +/-2.5 rings; the window instead bounds the azimuth span and covers all
-    rings.  An UNSORTED reference cloud silently yields ~0 valid partners
-    (callers validate via _check_window).
-
-    Boundary behavior: jnp.clip shrinks the window one-sided at the array
-    ends, so queries whose A lands near index 0 or near the end of the valid
-    region search a half-width neighborhood (sweep start/end azimuths).  The
-    reference's walk does not wrap around the sweep seam either
-    (:366-382 breaks at the array ends), so this is parity, not a bug.
-    Returns (idx [Q, W], ring [Q, W], mask [Q, W]).
-    """
-    offs = jnp.arange(window, dtype=jnp.int32) - window // 2
-    idx = jnp.clip(ia[:, None] + offs[None, :], 0, ref.capacity - 1)
-    return idx, ref.ring[idx], ref.mask[idx]
-
-
-def _check_window(window: int, n_rings: int):
-    """Trace-time validation of the windowed-search precondition.
-
-    A window narrower than ~3 rows of the azimuth-major grid cannot contain
-    a same-ring partner for most queries (each azimuth column holds n_rings
-    consecutive entries), silently dropping all surface constraints from the
-    solve — verified: window=16 with n_rings=16 yields 0 valid surf
-    correspondences.  window and n_rings are static, so this raises at trace
-    time, not on device.
-    """
-    if 0 < window < 3 * n_rings:
-        raise ValueError(
-            f"nn_window={window} is too narrow for n_rings={n_rings}: the "
-            f"azimuth-major index window must span >= 3 * n_rings entries "
-            f"(~3 azimuth columns) to contain same-ring/adjacent-ring "
-            f"partners; got < {3 * n_rings}."
-        )
-
-
-def _window_min(q_xyz, ref, idx, sel):
-    """Min/argmin over the window axis: ([Q,3], ref, [Q,W], [Q,W]) -> ([Q],[Q]).
-
-    Candidate coordinates are gathered per component ([Q, W] planes) — a
-    [Q, W, 3] gather puts the xyz axis on TPU lanes and pads it 3 -> 128
-    (42.7x HBM expansion; measured 12x slower windowed solves).
-    """
-    d = (
-        (ref.xyz[..., 0][idx] - q_xyz[..., 0, None]) ** 2
-        + (ref.xyz[..., 1][idx] - q_xyz[..., 1, None]) ** 2
-        + (ref.xyz[..., 2][idx] - q_xyz[..., 2, None]) ** 2
-    )
-    d = jnp.where(sel, d, BIG)
-    return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1)
+# Implementation note: each argmin race recomputes its own distance tile
+# behind an optimization_barrier: the matmul is nearly free next to the
+# [Q, M] HBM traffic, so rematerializing and letting each reduction fuse with
+# its own producer beats writing the tile once and re-reading it per race
+# (3-race surf search: 126 ms -> 72 ms at [512, 768, 4096] on TPU,
+# bit-identical results — benchmarks/exp_races.py).  Two retired
+# formulations — a per-ring-minima Pallas kernel and an azimuth-windowed B/C
+# search — measured slower (ring: >10 min Mosaic compile; windowed: 19x) and
+# were removed in round 4; conclusions in BENCH.md "Known floor".
 
 
 def _race_dist(q_xyz, ref, precision):
@@ -263,28 +247,6 @@ def _race_dist(q_xyz, ref, precision):
     qb = jax.lax.optimization_barrier(q_xyz)
     d = pairwise_sq_dist(qb, ref.xyz, precision)
     return jnp.where(ref.mask[None, :], d, BIG)
-
-
-def _race_a(q_xyz, ref, precision):
-    """Race A (global nearest): returns (ia [Q], da [Q]).
-
-    Dispatches to the streaming Pallas 1-NN kernel (ops/pallas/nn1.py) on
-    TPU when COOPER_USE_PALLAS is set — the [Q, M] distance tile then lives
-    only in VMEM — and to the dense fused min/argmin race otherwise.
-    Selections are identical under the meter-scale acceptance gates (see
-    nn1.py).
-    """
-    if _pallas_mode():
-        tiles = _pallas_tiles(q_xyz.shape[0], ref.capacity)
-        if tiles:
-            from .pallas import nn1 as nn1_mod
-
-            return nn1_mod.nn1_pallas(
-                q_xyz, ref.xyz, ref.mask, tile_q=tiles[0], tile_m=tiles[1],
-                interpret=_interpret(),
-            )
-    d = _race_dist(q_xyz, ref, precision)
-    return jnp.argmin(d, axis=-1), jnp.min(d, axis=-1)
 
 
 def _chunked_queries(fn, q_xyz, chunk: int):
@@ -304,40 +266,22 @@ def _chunked_queries(fn, q_xyz, chunk: int):
 
 def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
                  n_rings: int = 16, query_chunk: int = 0, precision=None,
-                 window: int = 0):
+                 backend: str = "auto"):
     """Odometry corner correspondences (LaserOdometry.cpp:358-408).
 
     A = nearest reference corner; B = nearest corner on a *different* ring
     within ``ring_span`` rings of A's ring.  Returns (ia, ib, valid [Q]).
     ``query_chunk > 0`` streams the distance tile in query chunks.
-    ``window > 0`` finds B inside a ``window``-wide index window around A
-    instead of a second full distance race — an azimuth-local approximation
-    of the reference's ring-band walk around its kd-tree hit (:366-382; see
-    _window_candidates for how the neighborhoods differ) — REQUIRES ``ref``
-    sorted azimuth-major; one [Q, M] tile instead of two.
     """
 
-    _check_window(window, n_rings)
     if query_chunk and q_xyz.shape[0] > query_chunk:
         return _chunked_queries(
             lambda qc: corner_pairs(qc, ref, max_sq_dist, ring_span, n_rings,
-                                    precision=precision, window=window),
+                                    precision=precision, backend=backend),
             q_xyz, query_chunk,
         )
 
-    if window:
-        ia, da = _race_a(q_xyz, ref, precision)
-        ring_a = ref.ring[ia]
-        idx, wring, wmask = _window_candidates(ref, ia, window)
-        rd = jnp.abs(wring - ring_a[:, None]).astype(jnp.float32)
-        sel = wmask & (rd > 0.0) & (rd <= ring_span)
-        db, jb = _window_min(q_xyz, ref, idx, sel)
-        ib = jnp.take_along_axis(idx, jb[:, None], axis=-1)[:, 0]
-        valid = (da < max_sq_dist) & (db < max_sq_dist)
-        return ia, ib, valid
-
-    pallas_mode = _pallas_mode()
-    if pallas_mode == "1":
+    if resolve_backend(backend):
         from .pallas import nn1 as nn1_mod
 
         ftq = _fused_tile_q(q_xyz.shape[0], ref.capacity)
@@ -362,17 +306,6 @@ def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
             )
             valid = (da < max_sq_dist) & (db < max_sq_dist)
             return ia, ib, valid
-    if pallas_mode == "ring":
-        min1, idx1, _, _ = _ring_minima(q_xyz, ref, n_rings)
-        ring_a = jnp.argmin(min1, axis=-1)
-        da = jnp.take_along_axis(min1, ring_a[:, None], -1)[:, 0]
-        ia = jnp.take_along_axis(idx1, ring_a[:, None], -1)[:, 0]
-        rr = jnp.arange(n_rings)[None, :]
-        diff = jnp.abs(rr - ring_a[:, None]).astype(jnp.float32)
-        adj = (diff > 0.0) & (diff <= ring_span)
-        db, ib = _select_ring(min1, idx1, adj)
-        valid = (da < max_sq_dist) & (db < max_sq_dist)
-        return ia, ib, valid
 
     d = _race_dist(q_xyz, ref, precision)
     ia = jnp.argmin(d, axis=-1)
@@ -391,43 +324,23 @@ def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
 
 def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
                  n_rings: int = 16, query_chunk: int = 0, precision=None,
-                 window: int = 0):
+                 backend: str = "auto"):
     """Odometry surface correspondences (LaserOdometry.cpp:421-497).
 
     A = nearest surf point; B = nearest other surf on A's ring;
     C = nearest surf on a different ring within ``ring_span``.
     Returns (ia, ib, ic, valid [Q]).  ``query_chunk > 0`` streams the
-    distance tile in query chunks (see _chunked_queries).  ``window > 0``
-    finds B and C inside an index window around A (ref MUST be sorted
-    azimuth-major) — one [Q, M] tile instead of three; an azimuth-local
-    approximation of the reference's ring-band index walk (:437-475; see
-    _window_candidates).
+    distance tile in query chunks (see _chunked_queries).
     """
 
-    _check_window(window, n_rings)
     if query_chunk and q_xyz.shape[0] > query_chunk:
         return _chunked_queries(
             lambda qc: surf_triples(qc, ref, max_sq_dist, ring_span, n_rings,
-                                    precision=precision, window=window),
+                                    precision=precision, backend=backend),
             q_xyz, query_chunk,
         )
 
-    if window:
-        ia, da = _race_a(q_xyz, ref, precision)
-        ring_a = ref.ring[ia]
-        idx, wring, wmask = _window_candidates(ref, ia, window)
-        same = wmask & (wring == ring_a[:, None]) & (idx != ia[:, None])
-        db, jb = _window_min(q_xyz, ref, idx, same)
-        ib = jnp.take_along_axis(idx, jb[:, None], axis=-1)[:, 0]
-        rd = jnp.abs(wring - ring_a[:, None]).astype(jnp.float32)
-        adj = wmask & (rd > 0.0) & (rd <= ring_span)
-        dc, jc = _window_min(q_xyz, ref, idx, adj)
-        ic = jnp.take_along_axis(idx, jc[:, None], axis=-1)[:, 0]
-        valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
-        return ia, ib, ic, valid
-
-    pallas_mode = _pallas_mode()
-    if pallas_mode == "1":
+    if resolve_backend(backend):
         from .pallas import nn1 as nn1_mod
 
         ftq = _fused_tile_q(q_xyz.shape[0], ref.capacity)
@@ -468,18 +381,6 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
                 )
             valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
             return ia, ib, ic, valid
-    if pallas_mode == "ring":
-        min1, idx1, min2, idx2 = _ring_minima(q_xyz, ref, n_rings)
-        ring_a = jnp.argmin(min1, axis=-1)
-        take = lambda a: jnp.take_along_axis(a, ring_a[:, None], -1)[:, 0]
-        da, ia = take(min1), take(idx1)
-        db, ib = take(min2), take(idx2)
-        rr = jnp.arange(n_rings)[None, :]
-        diff = jnp.abs(rr - ring_a[:, None]).astype(jnp.float32)
-        adj = (diff > 0.0) & (diff <= ring_span)
-        dc, ic = _select_ring(min1, idx1, adj)
-        valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
-        return ia, ib, ic, valid
 
     d = _race_dist(q_xyz, ref, precision)
     ia = jnp.argmin(d, axis=-1)

@@ -133,11 +133,13 @@ def _find_correspondences(x, sharp: Cloud, flat: Cloud, last_corner: Cloud,
     ps = twist.warp_to_start(x, flat.xyz, flat.rel_time)
     ia_c, ib_c, ok_c = neighbors.corner_pairs(
         pc, last_corner, cfg.nn_sq_dist_max, cfg.ring_span, cfg.n_rings,
-        cfg.nn_query_chunk, precision=cfg.nn_precision, window=cfg.nn_window,
+        cfg.nn_query_chunk, precision=cfg.nn_precision,
+        backend=cfg.kernel_backend,
     )
     ia_s, ib_s, ic_s, ok_s = neighbors.surf_triples(
         ps, last_surf, cfg.nn_sq_dist_max, cfg.ring_span, cfg.n_rings,
-        cfg.nn_query_chunk, precision=cfg.nn_precision, window=cfg.nn_window,
+        cfg.nn_query_chunk, precision=cfg.nn_precision,
+        backend=cfg.kernel_backend,
     )
     return Correspondences(
         A_c=last_corner.xyz[ia_c],
@@ -297,15 +299,6 @@ def odometry_solve(
     (see OdometryConfig.dewarp_passes).  Correspondence schedule per pass
     matches the reference (LaserOdometry.cpp:358).
     """
-    if cfg.nn_window:
-        # windowed B/C search requires azimuth-major reference ordering (a
-        # contiguous index window then covers all rings at nearby azimuths);
-        # sorted once per solve, amortized over every refresh and pass
-        from ..utils import cloud as cloud_lib
-
-        last_corner = cloud_lib.sort_azimuth_major(last_corner)
-        last_surf = cloud_lib.sort_azimuth_major(last_surf)
-
     x, st = _odometry_solve_pass(
         sharp, flat, last_corner, last_surf, x0, cfg, parity_mode
     )

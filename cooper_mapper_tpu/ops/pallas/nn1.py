@@ -4,15 +4,11 @@ The dense formulation (ops/neighbors._race_dist) materializes a [Q, M] f32
 distance tile in HBM per race; at the bench shape [512, 768, 4096] that HBM
 write+read is the measured ~63 ms refresh floor (BENCH.md "Known floor").
 This kernel streams reference tiles through VMEM and carries only the running
-(min, argmin) per query — the [Q, M] tile never exists.  Unlike the gated
-per-ring kernel (nn_ring.py), there is no ring dimension, no 3D masking and
-no unrolled ring loop, so the Mosaic program is tiny (one matmul + two fused
-reductions per tile step) and compiles in seconds, not minutes.
-
-Used for race A of the windowed correspondence searches
-(ops/neighbors.corner_pairs/surf_triples with window > 0): races B/C read a
-``window``-wide candidate strip around A, so A's full race is the only
-[Q, M]-shaped work left in the odometry refresh.
+(min, argmin) per query — the [Q, M] tile never exists.  The Mosaic program
+is tiny (one matmul + two fused reductions per tile step) and compiles in
+seconds.  Races B/C reuse the same streaming structure with ring masks
+(nn1_masked_pallas below); together they are the default odometry
+correspondence path on TPU (ops/neighbors.corner_pairs/surf_triples).
 
 Semantics match ``ops.neighbors.nn1``: squared distances via the
 ``||q||^2 - 2 q.r + ||r||^2`` expansion (f32 matmul), ties broken toward the
@@ -481,13 +477,11 @@ def _pick_tile(n: int, candidates) -> int:
 
 
 def nn1(q_xyz, r_xyz, r_mask):
-    """Backend dispatch: Pallas on TPU when COOPER_USE_PALLAS=1, XLA dense
-    race otherwise (see ops/neighbors.nn1 for the dense formulation)."""
-    import os
-
+    """Backend dispatch: Pallas when neighbors.resolve_backend picks it, XLA
+    dense race otherwise (see ops/neighbors.nn1 for the dense formulation)."""
     from .. import neighbors
 
-    if jax.default_backend() == "tpu" and os.environ.get("COOPER_USE_PALLAS") == "1":
+    if neighbors.resolve_backend():
         tq = _pick_tile(q_xyz.shape[0], (256, 128))
         tm = _pick_tile(r_xyz.shape[0], (512, 256, 128))
         if tq and tm:

@@ -80,76 +80,92 @@ def _edge_residual_jac(T_i, T_j, T_meas):
     return r, J[:, :6], J[:, 6:]
 
 
-def _assemble(graph: PoseGraph, damping):
-    """Build the damped normal equations H dx = -g over all active edges."""
-    n = graph.poses.shape[0]
+def edge_blocks_from(poses, edge_i, edge_j, edge_T, edge_info, edge_mask):
+    """THE per-edge block assembly — every solver path builds on this one.
 
-    T_i = graph.poses[graph.edge_i]
-    T_j = graph.poses[graph.edge_j]
-    r, J_i, J_j = jax.vmap(_edge_residual_jac)(T_i, T_j, graph.edge_T)
-
-    w = graph.edge_mask.astype(jnp.float32)[:, None] * graph.edge_info  # [E, 6]
-    r_w = jnp.where(graph.edge_mask[:, None], r, 0.0)
-    J_i = jnp.where(graph.edge_mask[:, None, None], J_i, 0.0)
-    J_j = jnp.where(graph.edge_mask[:, None, None], J_j, 0.0)
-
-    # per-edge blocks
+    Returns (H_ii, H_jj, H_ij [E,6,6], g [N,6], cost) for the edge slice
+    given.  The dense [6N,6N] Hessian is never formed here: dense paths
+    scatter the blocks via ``dense_from_blocks``; matrix-free paths apply
+    their action via ``_hvp``.  The info-weighted einsum build and masking
+    must stay bit-identical across the dense/CG/sharded paths for the
+    CG==dense and sharded==unsharded equality tests to mean anything — which
+    is why all four consumers (``_assemble``, ``_edge_blocks``,
+    ``parallel.batch`` dense + CG) call this single kernel (ADVICE r3).
+    """
+    n = poses.shape[0]
+    T_i = poses[edge_i]
+    T_j = poses[edge_j]
+    r, J_i, J_j = jax.vmap(_edge_residual_jac)(T_i, T_j, edge_T)
+    w = edge_mask.astype(jnp.float32)[:, None] * edge_info  # [E, 6]
+    r_w = jnp.where(edge_mask[:, None], r, 0.0)
+    J_i = jnp.where(edge_mask[:, None, None], J_i, 0.0)
+    J_j = jnp.where(edge_mask[:, None, None], J_j, 0.0)
     JiW = J_i * w[:, :, None]  # info-weighted rows: [E, 6(res), 6(param)]
     JjW = J_j * w[:, :, None]
     H_ii = jnp.einsum("erp,erq->epq", JiW, J_i)
     H_jj = jnp.einsum("erp,erq->epq", JjW, J_j)
     H_ij = jnp.einsum("erp,erq->epq", JiW, J_j)
-    g_i = jnp.einsum("erp,er->ep", JiW, r_w)
-    g_j = jnp.einsum("erp,er->ep", JjW, r_w)
-
-    # scatter into dense [N, N, 6, 6] block structure (flattened)
-    H = jnp.zeros((n, n, 6, 6), jnp.float32)
-    H = H.at[graph.edge_i, graph.edge_i].add(H_ii)
-    H = H.at[graph.edge_j, graph.edge_j].add(H_jj)
-    H = H.at[graph.edge_i, graph.edge_j].add(H_ij)
-    H = H.at[graph.edge_j, graph.edge_i].add(jnp.swapaxes(H_ij, -1, -2))
     g = jnp.zeros((n, 6), jnp.float32)
-    g = g.at[graph.edge_i].add(g_i)
-    g = g.at[graph.edge_j].add(g_j)
+    g = g.at[edge_i].add(jnp.einsum("erp,er->ep", JiW, r_w))
+    g = g.at[edge_j].add(jnp.einsum("erp,er->ep", JjW, r_w))
+    cost = jnp.sum(w * r * r)
+    return H_ii, H_jj, H_ij, g, cost
 
-    H = jnp.transpose(H, (0, 2, 1, 3)).reshape(6 * n, 6 * n)
-    g = g.reshape(6 * n)
 
-    # gauge fixing: a strong prior on node 0 (first node fixed, :51-63);
-    # inactive nodes get identity blocks so the system stays non-singular
-    diag_boost = jnp.zeros(n).at[0].set(1e6)
-    diag_boost = jnp.where(graph.node_mask, diag_boost, 1e6)
-    boost = jnp.repeat(diag_boost, 6)
-    H = H + jnp.diag(boost + damping * (jnp.diagonal(H) + 1.0))
-    return H, g, r_w, w
+def dense_from_blocks(H_ii, H_jj, H_ij, edge_i, edge_j, n: int):
+    """Scatter per-edge blocks into the dense [6N, 6N] Hessian (no damping)."""
+    H = jnp.zeros((n, n, 6, 6), jnp.float32)
+    H = H.at[edge_i, edge_i].add(H_ii)
+    H = H.at[edge_j, edge_j].add(H_jj)
+    H = H.at[edge_i, edge_j].add(H_ij)
+    H = H.at[edge_j, edge_i].add(jnp.swapaxes(H_ij, -1, -2))
+    return jnp.transpose(H, (0, 2, 1, 3)).reshape(6 * n, 6 * n)
+
+
+def node_diag_blocks(H_ii, H_jj, edge_i, edge_j, n: int):
+    """Node-diagonal 6x6 blocks D [N,6,6] (the block-Jacobi preconditioner
+    base and the source of the LM damping diagonal)."""
+    D = jnp.zeros((n, 6, 6), jnp.float32)
+    D = D.at[edge_i].add(H_ii)
+    D = D.at[edge_j].add(H_jj)
+    return D
+
+
+def gauge_damping(node_mask, diag_H, lam):
+    """Gauge boost + LM damping diagonal [N, 6] — THE damping formula.
+
+    Gauge fixing: a strong prior on node 0 (first node fixed,
+    solver_g2o.cpp:51-63); inactive nodes get the same boost so the system
+    stays non-singular.  ``diag_H`` is the [N, 6] diagonal of the undamped
+    Hessian (identical whether read off the dense matrix or the node-diagonal
+    blocks).  Shared bit-identically by the dense, CG, and both sharded
+    solver paths.
+    """
+    n = node_mask.shape[0]
+    boost = jnp.zeros(n).at[0].set(1e6)
+    boost = jnp.where(node_mask, boost, 1e6)
+    return boost[:, None] + lam * (diag_H + 1.0)
+
+
+def _assemble(graph: PoseGraph, damping):
+    """Build the damped normal equations H dx = -g over all active edges."""
+    n = graph.poses.shape[0]
+    H_ii, H_jj, H_ij, g2, _ = _edge_blocks(graph)
+    H = dense_from_blocks(H_ii, H_jj, H_ij, graph.edge_i, graph.edge_j, n)
+    g = g2.reshape(6 * n)
+    damp = gauge_damping(graph.node_mask,
+                         jnp.diagonal(H).reshape(n, 6), damping)
+    H = H + jnp.diag(damp.reshape(6 * n))
+    return H, g
 
 
 def _edge_blocks(graph: PoseGraph):
-    """Per-edge 6x6 Hessian blocks + gradient — the matrix-free system.
-
-    Returns (H_ii, H_jj, H_ij [E,6,6], g [N,6], cost).  The dense [6N,6N]
-    Hessian is never formed: its action is the edge-scatter in _hvp.  This is
-    the TPU-native replacement for g2o's CSparse factorization (SURVEY.md
-    §7.3 "block-structured dense-within-block CG") — memory O(E+N), not O(N^2).
-    """
-    n = graph.poses.shape[0]
-    T_i = graph.poses[graph.edge_i]
-    T_j = graph.poses[graph.edge_j]
-    r, J_i, J_j = jax.vmap(_edge_residual_jac)(T_i, T_j, graph.edge_T)
-    w = graph.edge_mask.astype(jnp.float32)[:, None] * graph.edge_info
-    r_w = jnp.where(graph.edge_mask[:, None], r, 0.0)
-    J_i = jnp.where(graph.edge_mask[:, None, None], J_i, 0.0)
-    J_j = jnp.where(graph.edge_mask[:, None, None], J_j, 0.0)
-    JiW = J_i * w[:, :, None]
-    JjW = J_j * w[:, :, None]
-    H_ii = jnp.einsum("erp,erq->epq", JiW, J_i)
-    H_jj = jnp.einsum("erp,erq->epq", JjW, J_j)
-    H_ij = jnp.einsum("erp,erq->epq", JiW, J_j)
-    g = jnp.zeros((n, 6), jnp.float32)
-    g = g.at[graph.edge_i].add(jnp.einsum("erp,er->ep", JiW, r_w))
-    g = g.at[graph.edge_j].add(jnp.einsum("erp,er->ep", JjW, r_w))
-    cost = jnp.sum(w * r * r)
-    return H_ii, H_jj, H_ij, g, cost
+    """Per-edge 6x6 Hessian blocks + gradient — the matrix-free system
+    (see edge_blocks_from).  Memory O(E+N), not O(N^2): the TPU-native
+    replacement for g2o's CSparse factorization (SURVEY.md §7.3
+    "block-structured dense-within-block CG")."""
+    return edge_blocks_from(graph.poses, graph.edge_i, graph.edge_j,
+                            graph.edge_T, graph.edge_info, graph.edge_mask)
 
 
 def _hvp(H_ii, H_jj, H_ij, edge_i, edge_j, damp_diag, v):
@@ -170,13 +186,9 @@ def _damping_terms(graph: PoseGraph, H_ii, H_jj, lam):
     """Gauge boost + LM damping as a diagonal [N, 6], and the block-Jacobi
     preconditioner blocks [N, 6, 6] (node-diagonal blocks + damping)."""
     n = graph.poses.shape[0]
-    D = jnp.zeros((n, 6, 6), jnp.float32)
-    D = D.at[graph.edge_i].add(H_ii)
-    D = D.at[graph.edge_j].add(H_jj)
+    D = node_diag_blocks(H_ii, H_jj, graph.edge_i, graph.edge_j, n)
     diag_H = jnp.diagonal(D, axis1=-2, axis2=-1)  # [N, 6]
-    boost = jnp.zeros(n).at[0].set(1e6)
-    boost = jnp.where(graph.node_mask, boost, 1e6)
-    damp = boost[:, None] + lam * (diag_H + 1.0)   # matches the dense path
+    damp = gauge_damping(graph.node_mask, diag_H, lam)
     M = D + jax.vmap(jnp.diag)(damp)
     return damp, M
 
@@ -253,7 +265,7 @@ def optimize(graph: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()):
         # factor with Cholesky: TPU LU-with-partial-pivoting serializes on row
         # selection and measures 62x slower at [1536, 1536]
         # (benchmarks/exp_dense_solve.py: 2617 ms vs 42 ms per solve on chip)
-        H, g, _, _ = _assemble(graph, lam)
+        H, g = _assemble(graph, lam)
         L = jnp.linalg.cholesky(H)
         y = jax.scipy.linalg.solve_triangular(L, -g, lower=True)
         return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)

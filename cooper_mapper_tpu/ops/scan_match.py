@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from ..config import ScanMatchConfig
 from ..utils import twist
 from ..utils.cloud import Cloud
-from . import bucket_knn
 from . import gauss_newton as gn
 from . import neighbors, residuals
 from .odometry import _reference_jacobian_rows
@@ -48,7 +47,7 @@ class ScanMatchResult:
 
 def _build_residuals(x, corner: Cloud, surf: Cloud, ref_corner: Cloud,
                      ref_surf: Cloud, cfg: ScanMatchConfig, chunk: int,
-                     grids=None):
+                     parity_mode: bool = False):
     """One correspondence+residual build at pose x.
 
     Returns (J, b, ok, line_found, plane_found) with J:[Nc+Ns,6].
@@ -56,13 +55,10 @@ def _build_residuals(x, corner: Cloud, surf: Cloud, ref_corner: Cloud,
     pc = twist.point_to_map(x, corner.xyz)
     ps = twist.point_to_map(x, surf.xyz)
 
-    if grids is not None:
-        grid_c, grid_s = grids
-        idx_c, d_c = bucket_knn.query(grid_c, ref_corner.xyz, ref_corner.mask, pc, cfg.knn)
-        idx_s, d_s = bucket_knn.query(grid_s, ref_surf.xyz, ref_surf.mask, ps, cfg.knn)
-    else:
-        idx_c, d_c = neighbors.knn_search(pc, ref_corner.xyz, ref_corner.mask, cfg.knn, chunk)
-        idx_s, d_s = neighbors.knn_search(ps, ref_surf.xyz, ref_surf.mask, cfg.knn, chunk)
+    idx_c, d_c = neighbors.knn_search(pc, ref_corner.xyz, ref_corner.mask,
+                                      cfg.knn, chunk, cfg.kernel_backend)
+    idx_s, d_s = neighbors.knn_search(ps, ref_surf.xyz, ref_surf.mask,
+                                      cfg.knn, chunk, cfg.kernel_backend)
 
     gate_c = (d_c[:, -1] < cfg.nn_sq_dist_max) & corner.mask
     gate_s = (d_s[:, -1] < cfg.nn_sq_dist_max) & surf.mask
@@ -84,16 +80,27 @@ def _build_residuals(x, corner: Cloud, surf: Cloud, ref_corner: Cloud,
     )
     ok_c = line_ok & w_ok_c & gate_c
 
+    # parity_mode disables the collinearity rejection: the reference's
+    # findPlane (feature_utils.h:158-204) has no such check and accepts
+    # every fit passing the 0.2 m inlier test.  On EXACTLY collinear 5-NN
+    # sets (ray-cast scan columns; real voxel-filtered data never produces
+    # them) the accepted normal is solver-arbitrary and irreproducible —
+    # the golden scene jitters the map to keep every fit well-posed.
     sx, sy, sz = _planes(ref_surf.xyz, idx_s)
-    plane, plane_ok = residuals.fit_plane_planes(sx, sy, sz, gate_s,
-                                                 cfg.plane_max_dist)
+    plane, plane_ok = residuals.fit_plane_planes(
+        sx, sy, sz, gate_s, cfg.plane_max_dist,
+        planar_ratio=0.0 if parity_mode else 0.05,
+    )
     dir_s, res_s, w_ok_s = residuals.surf_coeff_map(
         plane, ps, cfg.weight_slope, cfg.weight_min
     )
     ok_s = plane_ok & w_ok_s & gate_s
 
-    J_c = _reference_jacobian_rows(x, corner.xyz, dir_c)
-    J_s = _reference_jacobian_rows(x, surf.xyz, dir_s)
+    # parity_mode reproduces the port's missing-parenthesis arz quirk
+    # (ScanMatch.cpp:194, identical to LaserOdometry.cpp:567); the default
+    # uses the corrected closed-form row (identical near sry ~ 0)
+    J_c = _reference_jacobian_rows(x, corner.xyz, dir_c, port_typo=parity_mode)
+    J_s = _reference_jacobian_rows(x, surf.xyz, dir_s, port_typo=parity_mode)
 
     J = jnp.concatenate([J_c, J_s], axis=0)
     b = jnp.concatenate([-res_c, -res_s], axis=0)
@@ -103,7 +110,7 @@ def _build_residuals(x, corner: Cloud, surf: Cloud, ref_corner: Cloud,
     return J, b, ok, found
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk"))
+@partial(jax.jit, static_argnames=("cfg", "chunk", "parity_mode"))
 def scan_match(
     corner: Cloud,
     surf: Cloud,
@@ -112,28 +119,23 @@ def scan_match(
     x0,
     cfg: ScanMatchConfig = ScanMatchConfig(),
     chunk: int = 512,
+    parity_mode: bool = False,
 ) -> ScanMatchResult:
     """Refine a world pose against reference feature clouds.
 
     x0/x are TZYX twists (see utils/twist.point_to_map).  vmap freely.
+
+    ``parity_mode=True`` reproduces the reference's literal iteration
+    dynamics (ScanMatch.cpp:51-260): the port-typo arz Jacobian row and the
+    row-zeroing degeneracy projector — asserted iteration-by-iteration
+    against tests/ref_oracle.scan_match_scan.
     """
 
     enough_ref = (ref_corner.count() >= 50) & (ref_surf.count() >= 100)
 
-    # the reference clouds are fixed for the whole solve: bucket them once
-    # (the per-cube kd-tree build of FeatureMap.h:438,453 / ScanMatch.cpp:75)
-    grids = None
-    if cfg.use_bucket_grid:
-        grids = (
-            bucket_knn.build(ref_corner.xyz, ref_corner.mask, cfg.bucket_cell,
-                             cfg.bucket_hash_bits, cfg.bucket_capacity),
-            bucket_knn.build(ref_surf.xyz, ref_surf.mask, cfg.bucket_cell,
-                             cfg.bucket_hash_bits, cfg.bucket_capacity),
-        )
-
     def step(st, it, compute_projector=False):
         J, b, ok, _ = _build_residuals(
-            st.x, corner, surf, ref_corner, ref_surf, cfg, chunk, grids
+            st.x, corner, surf, ref_corner, ref_surf, cfg, chunk, parity_mode
         )
         JtJ, Jtb, n_valid = gn.assemble_normal_eqs(J, b, ok)
         return gn.gn_step(
@@ -144,6 +146,7 @@ def scan_match(
             cfg.delta_r_abort,
             cfg.delta_t_abort,
             cfg.min_matched,
+            reference_mode=parity_mode,
             compute_projector=compute_projector,
         )
 
@@ -151,9 +154,13 @@ def scan_match(
     st = step(gn.gn_init(x0), jnp.int32(0), compute_projector=True)
     st = jax.lax.fori_loop(1, cfg.max_iterations, lambda it, s: step(s, it), st)
 
-    # final diagnostics at the solution (score gate, ScanMatch.cpp:263-341)
+    # final diagnostics at the solution (score gate, ScanMatch.cpp:263-341).
+    # Deliberate deviation: the reference scores the coeffSel of the final
+    # iteration's PRE-update pose (the build the convergence break exited
+    # from); here the score is recomputed AT the converged pose — identical
+    # up to the sub-abort-threshold final step (<0.05 deg / 0.5 mm)
     J, b, ok, found = _build_residuals(
-        st.x, corner, surf, ref_corner, ref_surf, cfg, chunk, grids
+        st.x, corner, surf, ref_corner, ref_surf, cfg, chunk, parity_mode
     )
     score = jnp.sum(jnp.where(ok, jnp.exp(-jnp.abs(b)), 0.0), axis=-1)
     total = corner.count() + surf.count()

@@ -76,27 +76,17 @@ def sharded_scan_match(corner, surf, ref_corner, ref_surf, x0,
 
 
 def _local_blocks(poses, edge_i, edge_j, edge_T, edge_info, edge_mask):
-    """Per-shard assembly of the dense system from the local edge slice."""
+    """Per-shard assembly of the dense system from the local edge slice.
+
+    Thin composition of the shared kernels (pose_graph.edge_blocks_from +
+    dense_from_blocks) so the sharded numerics stay bit-identical to the
+    single-device path by construction.
+    """
     n = poses.shape[0]
-    T_i = poses[edge_i]
-    T_j = poses[edge_j]
-    r, J_i, J_j = jax.vmap(pg._edge_residual_jac)(T_i, T_j, edge_T)
-    w = edge_mask.astype(jnp.float32)[:, None] * edge_info
-    r_w = jnp.where(edge_mask[:, None], r, 0.0)
-    J_i = jnp.where(edge_mask[:, None, None], J_i, 0.0)
-    J_j = jnp.where(edge_mask[:, None, None], J_j, 0.0)
-    JiW = J_i * w[:, :, None]
-    JjW = J_j * w[:, :, None]
-    H = jnp.zeros((n, n, 6, 6), jnp.float32)
-    H = H.at[edge_i, edge_i].add(jnp.einsum("erp,erq->epq", JiW, J_i))
-    H = H.at[edge_j, edge_j].add(jnp.einsum("erp,erq->epq", JjW, J_j))
-    H_ij = jnp.einsum("erp,erq->epq", JiW, J_j)
-    H = H.at[edge_i, edge_j].add(H_ij)
-    H = H.at[edge_j, edge_i].add(jnp.swapaxes(H_ij, -1, -2))
-    g = jnp.zeros((n, 6), jnp.float32)
-    g = g.at[edge_i].add(jnp.einsum("erp,er->ep", JiW, r_w))
-    g = g.at[edge_j].add(jnp.einsum("erp,er->ep", JjW, r_w))
-    cost = jnp.sum(w * r * r)
+    H_ii, H_jj, H_ij, g, cost = pg.edge_blocks_from(
+        poses, edge_i, edge_j, edge_T, edge_info, edge_mask
+    )
+    H = pg.dense_from_blocks(H_ii, H_jj, H_ij, edge_i, edge_j, n)  # [6n, 6n]
     return H, g, cost
 
 
@@ -137,15 +127,14 @@ def sharded_pose_graph_optimize(graph: pg.PoseGraph, cfg: PoseGraphConfig, mesh)
 
     def body(it, carry):
         graph, lam, cost = carry
-        H4, g2, _ = assemble(
+        H, g2, _ = assemble(
             graph.poses, graph.edge_i, graph.edge_j, graph.edge_T,
             graph.edge_info, graph.edge_mask,
         )
-        H = jnp.transpose(H4, (0, 2, 1, 3)).reshape(6 * n, 6 * n)
         g = g2.reshape(6 * n)
-        diag_boost = jnp.zeros(n).at[0].set(1e6)
-        diag_boost = jnp.where(graph.node_mask, diag_boost, 1e6)
-        H = H + jnp.diag(jnp.repeat(diag_boost, 6) + lam * (jnp.diagonal(H) + 1.0))
+        damp = pg.gauge_damping(graph.node_mask,
+                                jnp.diagonal(H).reshape(n, 6), lam)
+        H = H + jnp.diag(damp.reshape(6 * n))
         # SPD damped system: Cholesky, not LU — TPU LU-with-pivoting measures
         # 62x slower at [1536, 1536] (benchmarks/exp_dense_solve.py)
         L = jnp.linalg.cholesky(H)
@@ -192,23 +181,11 @@ def _sharded_optimize_cg(graph: pg.PoseGraph, cfg: PoseGraphConfig, mesh):
     )
     def run(poses, node_mask, ei, ej, eT, einfo, emask):
         def local_blocks(poses):
-            """Per-edge blocks + psum'd gradient/cost for the local slice."""
-            T_i = poses[ei]
-            T_j = poses[ej]
-            r, J_i, J_j = jax.vmap(pg._edge_residual_jac)(T_i, T_j, eT)
-            w = emask.astype(jnp.float32)[:, None] * einfo
-            r_w = jnp.where(emask[:, None], r, 0.0)
-            J_i = jnp.where(emask[:, None, None], J_i, 0.0)
-            J_j = jnp.where(emask[:, None, None], J_j, 0.0)
-            JiW = J_i * w[:, :, None]
-            JjW = J_j * w[:, :, None]
-            H_ii = jnp.einsum("erp,erq->epq", JiW, J_i)
-            H_jj = jnp.einsum("erp,erq->epq", JjW, J_j)
-            H_ij = jnp.einsum("erp,erq->epq", JiW, J_j)
-            g = jnp.zeros((n, 6), jnp.float32)
-            g = g.at[ei].add(jnp.einsum("erp,er->ep", JiW, r_w))
-            g = g.at[ej].add(jnp.einsum("erp,er->ep", JjW, r_w))
-            cost = jnp.sum(w * r * r)
+            """Per-edge blocks + psum'd gradient/cost for the local slice
+            (shared kernel: pose_graph.edge_blocks_from)."""
+            H_ii, H_jj, H_ij, g, cost = pg.edge_blocks_from(
+                poses, ei, ej, eT, einfo, emask
+            )
             return H_ii, H_jj, H_ij, jax.lax.psum(g, axis), jax.lax.psum(cost, axis)
 
         def cost_at(poses):
@@ -234,15 +211,10 @@ def _sharded_optimize_cg(graph: pg.PoseGraph, cfg: PoseGraphConfig, mesh):
         def lm_body(it, carry):
             poses, lam, cost = carry
             H_ii, H_jj, H_ij, g, _ = local_blocks(poses)
-            # preconditioner: psum'd node-diagonal blocks + damping
-            D = jnp.zeros((n, 6, 6), jnp.float32)
-            D = D.at[ei].add(H_ii)
-            D = D.at[ej].add(H_jj)
-            D = jax.lax.psum(D, axis)
+            # preconditioner: psum'd node-diagonal blocks + shared damping
+            D = jax.lax.psum(pg.node_diag_blocks(H_ii, H_jj, ei, ej, n), axis)
             diag_H = jnp.diagonal(D, axis1=-2, axis2=-1)
-            boost = jnp.zeros(n).at[0].set(1e6)
-            boost = jnp.where(node_mask, boost, 1e6)
-            damp = boost[:, None] + lam * (diag_H + 1.0)
+            damp = pg.gauge_damping(node_mask, diag_H, lam)
             Minv = jnp.linalg.inv(D + jax.vmap(jnp.diag)(damp))
             apply_M = lambda r: jnp.einsum("npq,nq->np", Minv, r)
 

@@ -99,22 +99,6 @@ def concat(a: Cloud, b: Cloud) -> Cloud:
     )
 
 
-def sort_azimuth_major(c: Cloud) -> Cloud:
-    """Sort a cloud azimuth-major: rel_time primary, ring secondary, invalid last.
-
-    Restores the spatial-index locality the reference gets from its ring-sorted
-    clouds (LaserOdometry scans B/C candidates by walking indices around the
-    kd-tree hit, LaserOdometry.cpp:366-408): after this sort, a contiguous
-    index window around a point covers all rings at nearby azimuths, so the
-    windowed correspondence search (ops/neighbors.py) finds the same-ring and
-    adjacent-ring minima with an O(window) gather instead of a full [Q, M]
-    distance tile.
-    """
-    order = jnp.lexsort((c.ring, c.rel_time, ~c.mask))
-    take = lambda arr: jnp.take(arr, order, axis=0)
-    return Cloud(take(c.xyz), take(c.mask), take(c.ring), take(c.rel_time))
-
-
 def compact(c: Cloud, capacity: Optional[int] = None) -> Cloud:
     """Stable-sort valid points to the front (still fixed shape).
 

@@ -286,3 +286,223 @@ def odometry_scan_match(
             break
 
     return trace
+
+
+# ===========================================================================
+# Scan-to-map oracle: ScanMatch::scanMatchScan
+# (/root/reference/L_SLAM/src/scan_to_scan_match/ScanMatch.cpp:51-347)
+# ===========================================================================
+
+
+def point_to_map(x, p):
+    """pointAssociateToMap (transform_utils.h:476-482): TZYX(x) p."""
+    return tzyx_apply(x[0], x[1], x[2], x[3], x[4], x[5], p)
+
+
+def map_knn5(point_sel, ref_xyz):
+    """Exact 5-NN, ties toward the smaller index (nanoflann kd-trees return
+    exact neighbors; a stable argsort reproduces the ordering)."""
+    d = np.sum((ref_xyz - point_sel) ** 2, axis=1)
+    idx = np.argsort(d, kind="stable")[:5]
+    return idx, d[idx]
+
+
+def find_line(ref_xyz, indices):
+    """findLine (feature_utils.h:110-155): 5-point PCA; accept iff
+    lambda_max > 5 * lambda_mid; A/B = centroid -/+ 0.1 * v_max."""
+    pts = ref_xyz[np.asarray(indices)]
+    centroid = pts.mean(axis=0)
+    a = pts - centroid
+    cov = (a.T @ a) / 5.0
+    evals, evecs = np.linalg.eigh(cov)        # ascending
+    if evals[2] > 5.0 * evals[1]:
+        v = evecs[:, 2]
+        return centroid - 0.1 * v, centroid + 0.1 * v, True
+    return None, None, False
+
+
+def find_plane(ref_xyz, indices, max_distance=0.2, reject_collinear=False):
+    """findPlane (feature_utils.h:158-204): least-squares n.p = -1 over the
+    5 neighbors, normalized, d = -n.centroid, reject if any neighbor sits
+    further than max_distance from the plane.
+
+    ``reject_collinear=True`` additionally rejects sets whose centered
+    mid/max covariance eigenvalue ratio is below 0.05 — NOT reference
+    behavior, but the reference's accepted fit on such a set is AMBIGUOUS
+    (many planes pass the max_distance check; the normal is whatever the
+    QR returns on the raw coordinates), so iteration-level parity is only
+    well-defined with these sets excluded on both sides
+    (ops/scan_match._build_residuals keeps the same filter)."""
+    pts = ref_xyz[np.asarray(indices)]
+    centroid = pts.mean(axis=0)
+    if reject_collinear:
+        a = pts - centroid
+        evals = np.linalg.eigvalsh((a.T @ a) / len(pts))
+        if evals[1] <= 0.05 * evals[2]:
+            return None, False
+    n, *_ = np.linalg.lstsq(pts, -np.ones(5), rcond=None)
+    n = n / np.linalg.norm(n)
+    d = -np.dot(n, centroid)
+    dists = pts @ n + d
+    if np.any(np.abs(dists) > max_distance):
+        return None, False
+    return np.concatenate([n, [d]]), True
+
+
+def corner_coefficients_map(A, B, X):
+    """Map-variant getCornerFeatureCoefficients (feature_utils.h:63-75):
+    w = 1 - 0.9 |d|, accept iff w > 0.1."""
+    cr = np.cross(X - B, X - A)
+    cr_norm = np.linalg.norm(cr)
+    ab = np.linalg.norm(A - B)
+    direction = -np.cross(cr, B - A) / (cr_norm * ab)
+    distance = cr_norm / ab
+    weight = 1.0 - 0.9 * abs(distance)
+    return direction * weight, distance * weight, weight > 0.1
+
+
+def surf_coefficients_map(plane, X):
+    """Map-variant getSurfaceFeatureCoefficients (feature_utils.h:97-106):
+    signed distance; w = 1 - 0.9 |d| / sqrt(|X|), accept iff w > 0.1."""
+    signed = np.dot(plane[:3], X) + plane[3]
+    weight = 1.0 - 0.9 * abs(signed) / np.sqrt(np.linalg.norm(X))
+    return plane[:3] * weight, signed * weight, weight > 0.1
+
+
+@dataclasses.dataclass
+class ScanMatchRecord:
+    iteration: int
+    x: np.ndarray                # transform AFTER the update
+    dx: Optional[np.ndarray]
+    n_selected: int
+    line_match_count: int
+    plane_match_count: int
+    is_degenerate: bool
+    broke: bool                  # deltaR/deltaT convergence break
+    score: float                 # getScore over this iteration's coeffSel
+    intensities: np.ndarray      # the coeffSel intensity column
+
+
+@dataclasses.dataclass
+class ScanMatchResultOracle:
+    trace: List[ScanMatchRecord]
+    x: np.ndarray
+    converged: bool
+    score: float
+    percent: float
+    accepted: bool               # the bool scanMatchScan returns
+
+
+def scan_match_scan(
+    ref_corner_xyz, ref_surf_xyz, corner_xyz, surf_xyz, x0=None,
+    max_iterations=10,
+    delta_r_abort=0.05,
+    delta_t_abort=0.05,
+    eig_threshold=100.0,
+    score_threshold=800.0,
+    match_percentage_threshold=0.4,
+    reject_collinear=False,
+) -> ScanMatchResultOracle:
+    """The full scanMatchScan loop (ScanMatch.cpp:51-347).
+
+    Per iteration: project via pointAssociateToMap, exact 5-NN gated on the
+    5th distance < 5.0, findLine/findPlane fits, map-variant coefficients
+    (w = 1 - 0.9|d|, surf scaled by 1/sqrt(|X|)), matB = -intensity (NO 0.05
+    under-relaxation, :205), the port-typo closed-form Jacobian (:187-196),
+    the iteration-0 eigen-100 row-zeroing projector (:213-235), deltaR/T
+    abort at 0.05 (:252-259), and the post-convergence score/percent gate
+    over the FINAL iteration's coeffSel (:263-341).  Degenerate < 50 matched
+    rows break the loop (:142-145).
+    """
+    x = np.zeros(6) if x0 is None else np.asarray(x0, np.float64).copy()
+    n_corner, n_surf = len(corner_xyz), len(surf_xyz)
+    matP = np.eye(6)
+    is_degenerate = False
+    converged = False
+    trace: List[ScanMatchRecord] = []
+    line_match_count = plane_match_count = 0
+    intensities: List[float] = []
+
+    for it in range(max_iterations):
+        rows, rhs = [], []
+        intensities = []
+        line_match_count = 0
+        plane_match_count = 0
+
+        for i in range(n_corner):
+            point_sel = point_to_map(x, corner_xyz[i])
+            idx, dists = map_knn5(point_sel, ref_corner_xyz)
+            if dists[4] < 5.0:
+                A, B, ok = find_line(ref_corner_xyz, idx)
+                if ok:
+                    coeff, intensity, accept = corner_coefficients_map(
+                        A, B, point_sel
+                    )
+                    if accept:
+                        rows.append(jacobian_row(x, corner_xyz[i], coeff))
+                        rhs.append(-intensity)
+                        intensities.append(intensity)
+                    line_match_count += 1
+
+        for i in range(n_surf):
+            point_sel = point_to_map(x, surf_xyz[i])
+            idx, dists = map_knn5(point_sel, ref_surf_xyz)
+            if dists[4] < 5.0:
+                plane, ok = find_plane(ref_surf_xyz, idx, 0.2,
+                                       reject_collinear)
+                if ok:
+                    coeff, intensity, accept = surf_coefficients_map(
+                        plane, point_sel
+                    )
+                    if accept:
+                        rows.append(jacobian_row(x, surf_xyz[i], coeff))
+                        rhs.append(-intensity)
+                        intensities.append(intensity)
+                    plane_match_count += 1
+
+        n_sel = len(rows)
+        score_it = float(np.sum(np.exp(-np.abs(intensities)))) if n_sel else 0.0
+        if n_sel < 50:                    # laserCloudSelNum < 50 -> break (:142)
+            trace.append(ScanMatchRecord(it, x.copy(), None, n_sel,
+                                         line_match_count, plane_match_count,
+                                         is_degenerate, False, score_it,
+                                         np.asarray(intensities)))
+            break
+
+        matA = np.stack(rows)
+        matB = np.asarray(rhs)
+        AtA = matA.T @ matA
+        AtB = matA.T @ matB
+        dx = np.linalg.solve(AtA, AtB)
+
+        if it == 0:
+            matP, is_degenerate = degeneracy_projector(AtA, eig_threshold)
+        if is_degenerate:
+            dx = matP @ dx
+
+        x = x + dx
+        delta_r = np.sqrt(np.sum(np.rad2deg(dx[:3]) ** 2))
+        delta_t = np.sqrt(np.sum((dx[3:] * 100.0) ** 2))
+        broke = delta_r < delta_r_abort and delta_t < delta_t_abort
+        trace.append(ScanMatchRecord(it, x.copy(), dx.copy(), n_sel,
+                                     line_match_count, plane_match_count,
+                                     is_degenerate, broke, score_it,
+                                     np.asarray(intensities)))
+        if broke:
+            converged = True
+            break
+
+    # score gate (:263-341): computed only on convergence, over the LAST
+    # iteration's coeffSel (built at the pre-update pose of that iteration)
+    score = trace[-1].score if trace else 0.0
+    match_count = line_match_count + plane_match_count
+    percent = match_count / float(n_corner + n_surf)
+    accepted = bool(
+        converged
+        and score >= score_threshold
+        and percent >= match_percentage_threshold
+    )
+    return ScanMatchResultOracle(
+        trace=trace, x=x, converged=converged, score=score,
+        percent=percent, accepted=accepted,
+    )

@@ -304,100 +304,3 @@ class TestCvDewarp:
             x_prev = x
         assert max(errs[1:]) < 0.08, errs
 
-
-class TestWindowedNN:
-    """The nn_window path: azimuth-local windowed B/C partner search
-    (ops/neighbors.py _window_candidates; ADVICE round-1 coverage gap)."""
-
-    def _clouds(self):
-        from cooper_mapper_tpu.utils import cloud as cloud_lib
-
-        f_prev, f_cur, _ = _sweep_pair(_pose(x=0.2, y=0.0, z=0.3) @ jnp.eye(4))
-        ref_c = cloud_lib.sort_azimuth_major(f_prev.less_sharp)
-        ref_s = cloud_lib.sort_azimuth_major(f_prev.less_flat)
-        return f_cur, ref_c, ref_s
-
-    def test_too_narrow_window_raises(self):
-        from cooper_mapper_tpu.ops import neighbors
-
-        f_cur, ref_c, _ = self._clouds()
-        with pytest.raises(ValueError, match="nn_window"):
-            neighbors.corner_pairs(f_cur.sharp.xyz, ref_c, 25.0,
-                                   n_rings=16, window=16)
-        with pytest.raises(ValueError, match="nn_window"):
-            neighbors.surf_triples(f_cur.flat.xyz, ref_c, 25.0,
-                                   n_rings=16, window=47)
-
-    def test_windowed_matches_full_race(self):
-        from cooper_mapper_tpu.ops import neighbors
-
-        f_cur, ref_c, ref_s = self._clouds()
-        # corner pairs on the SAME sorted reference: A must agree exactly
-        # (same full race); B agrees wherever the global winner sits inside
-        # the azimuth window (~99% at window=64 for 16 rings)
-        ia0, ib0, v0 = neighbors.corner_pairs(f_cur.sharp.xyz, ref_c, 25.0,
-                                              n_rings=16, window=0)
-        ia1, ib1, v1 = neighbors.corner_pairs(f_cur.sharp.xyz, ref_c, 25.0,
-                                              n_rings=16, window=64)
-        q = np.asarray(f_cur.sharp.mask)
-        np.testing.assert_array_equal(np.asarray(ia0)[q], np.asarray(ia1)[q])
-        both = q & np.asarray(v0) & np.asarray(v1)
-        assert both.sum() > 50
-        agree = (np.asarray(ib0)[both] == np.asarray(ib1)[both]).mean()
-        assert agree > 0.95, f"corner B agreement {agree}"
-        # windowed validity cannot collapse
-        assert np.asarray(v1)[q].sum() >= 0.9 * np.asarray(v0)[q].sum()
-
-        # surf: B/C agreement is lower than corners — ~6% of queries have
-        # their GLOBAL same-ring minimum azimuthally far away (another wall
-        # at similar range), which the azimuth-local window by design does
-        # not see (measured: B plateaus at 93.5% even at window=256; C
-        # reaches 96%+ at 128); the end-to-end solve below is the accuracy
-        # arbiter
-        ia0, ib0, ic0, v0 = neighbors.surf_triples(f_cur.flat.xyz, ref_s, 25.0,
-                                                   n_rings=16, window=0)
-        ia1, ib1, ic1, v1 = neighbors.surf_triples(f_cur.flat.xyz, ref_s, 25.0,
-                                                   n_rings=16, window=128)
-        q = np.asarray(f_cur.flat.mask)
-        np.testing.assert_array_equal(np.asarray(ia0)[q], np.asarray(ia1)[q])
-        both = q & np.asarray(v0) & np.asarray(v1)
-        assert both.sum() > 100
-        agree_b = (np.asarray(ib0)[both] == np.asarray(ib1)[both]).mean()
-        agree_c = (np.asarray(ic0)[both] == np.asarray(ic1)[both]).mean()
-        assert agree_b > 0.9 and agree_c > 0.9, (agree_b, agree_c)
-        assert np.asarray(v1)[q].sum() >= 0.9 * np.asarray(v0)[q].sum()
-
-    def test_unsorted_reference_loses_surf_partners(self):
-        # documents the silent failure mode: an UNSORTED (ring-major) ref
-        # yields ~no valid same-ring partners through the window
-        from cooper_mapper_tpu.ops import neighbors
-
-        f_prev, f_cur, _ = _sweep_pair(_pose(x=0.2, y=0.0, z=0.3) @ jnp.eye(4))
-        _, _, _, v_unsorted = neighbors.surf_triples(
-            f_cur.flat.xyz, f_prev.less_flat, 25.0, n_rings=16, window=64
-        )
-        from cooper_mapper_tpu.utils import cloud as cloud_lib
-        _, _, _, v_sorted = neighbors.surf_triples(
-            f_cur.flat.xyz, cloud_lib.sort_azimuth_major(f_prev.less_flat),
-            25.0, n_rings=16, window=64,
-        )
-        q = np.asarray(f_cur.flat.mask)
-        assert np.asarray(v_unsorted)[q].sum() < 0.5 * np.asarray(v_sorted)[q].sum()
-
-    @pytest.mark.parametrize("motion", [
-        _pose(x=0.25, y=0.0, z=0.35) @ jnp.eye(4),
-        _pose(x=0.0, y=0.0, z=0.5, yaw=0.05),
-    ])
-    def test_end_to_end_solve_with_window(self, motion):
-        # odometry_solve sorts the reference itself when nn_window is set
-        motion = jnp.asarray(motion)
-        f_prev, f_cur, gt = _sweep_pair(motion)
-        cfg_w = dataclasses.replace(CFG_ODO, cv_dewarp=False, nn_window=64)
-        x, st = odometry.odometry_solve(
-            f_cur.sharp, f_cur.flat, f_prev.less_sharp, f_prev.less_flat,
-            jnp.zeros(6), cfg_w,
-        )
-        M_est = twist.to_relative_motion(x)
-        err = np.array(se3.se3_log(se3.inverse(motion) @ M_est))
-        assert np.linalg.norm(err[:3]) < 0.03, err
-        assert np.linalg.norm(err[3:]) < 0.01, err
