@@ -1,0 +1,187 @@
+"""Sharded map == single-device map, structurally, on the 8-device CPU mesh.
+
+The striped cube sharding (maps/sharded_map.py) must be a pure layout
+change: de-striping the sharded state after every operation returns
+bit-identical FeatureMapState arrays, and the cross-device surround gather
+returns the same point set as the single-device gather.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cooper_mapper_tpu.config import MapConfig
+from cooper_mapper_tpu.maps import feature_map as fm
+from cooper_mapper_tpu.maps import sharded_map as smap
+from cooper_mapper_tpu.parallel import mesh as mesh_lib
+from cooper_mapper_tpu.utils import cloud as cloud_lib
+
+CFG = MapConfig(
+    n_cubes=(7, 5, 7), cube_size=10.0,
+    corner_cube_capacity=256, surf_cube_capacity=512,
+    surround_corner_capacity=4096, surround_surf_capacity=8192,
+    valid_distance=30.0,
+)
+
+
+def _clouds(rng, n_corner=600, n_surf=1500, spread=25.0):
+    c = cloud_lib.from_points(
+        jnp.asarray(rng.uniform(-spread, spread, (n_corner, 3)), jnp.float32))
+    s = cloud_lib.from_points(
+        jnp.asarray(rng.uniform(-spread, spread, (n_surf, 3)), jnp.float32))
+    return c, s
+
+
+def _assert_states_equal(single: fm.FeatureMapState, sharded, mesh):
+    got = smap.to_single(sharded, CFG, mesh.devices.size)
+    np.testing.assert_array_equal(np.asarray(got.origin), np.asarray(single.origin))
+    for name in ("corner", "surf"):
+        a = getattr(single, name)
+        b = getattr(got, name)
+        np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count),
+                                      err_msg=name)
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask),
+                                      err_msg=name)
+        sel = np.asarray(a.mask)
+        np.testing.assert_array_equal(
+            np.asarray(a.xyz)[sel], np.asarray(b.xyz)[sel], err_msg=name)
+
+
+def _point_set(c):
+    pts = np.asarray(c.xyz)[np.asarray(c.mask)]
+    return set(map(tuple, np.round(pts, 5)))
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return mesh_lib.make_mesh(8)
+
+
+class TestShardedEquality:
+    def test_insert_matches_single_device(self, mesh):
+        rng = np.random.RandomState(0)
+        c, s = _clouds(rng)
+        single = fm.add_feature_cloud(fm.create(CFG), c, s, CFG)
+        sharded = smap.add_feature_cloud(smap.create_sharded(CFG, mesh), c, s,
+                                         CFG, mesh)
+        _assert_states_equal(single, sharded, mesh)
+
+    def test_repeated_inserts_and_recenter(self, mesh):
+        rng = np.random.RandomState(1)
+        single = fm.create(CFG)
+        sharded = smap.create_sharded(CFG, mesh)
+        pos = np.zeros(3, np.float32)
+        for step in range(4):
+            c, s = _clouds(rng, 300, 800, spread=20.0)
+            # drift the insert region with the sensor
+            c = cloud_lib.Cloud(c.xyz + pos, c.mask, c.ring, c.rel_time)
+            s = cloud_lib.Cloud(s.xyz + pos, s.mask, s.ring, s.rel_time)
+            single = fm.add_feature_cloud(single, c, s, CFG)
+            sharded = smap.add_feature_cloud(sharded, c, s, CFG, mesh)
+            pos = pos + np.array([12.0, 0.0, 8.0], np.float32)
+            single = fm.recenter(single, jnp.asarray(pos), CFG)
+            sharded = smap.recenter(sharded, pos, CFG, mesh)
+            _assert_states_equal(single, sharded, mesh)
+
+    def test_surround_gather_same_point_set(self, mesh):
+        rng = np.random.RandomState(2)
+        c, s = _clouds(rng)
+        single = fm.add_feature_cloud(fm.create(CFG), c, s, CFG)
+        sharded = smap.add_feature_cloud(smap.create_sharded(CFG, mesh), c, s,
+                                         CFG, mesh)
+        pos = jnp.asarray([3.0, 1.0, -2.0])
+        ref_c1, ref_s1 = fm.get_surround(single, pos, CFG)
+        ref_c2, ref_s2 = smap.get_surround(sharded, pos, CFG, mesh)
+        assert _point_set(ref_c1) == _point_set(ref_c2)
+        assert _point_set(ref_s1) == _point_set(ref_s2)
+        assert int(ref_c2.count()) == int(ref_c1.count())
+
+    def test_dedup_matches_single_device(self, mesh):
+        rng = np.random.RandomState(3)
+        c, s = _clouds(rng, 1200, 3000, spread=15.0)
+        single = fm.add_feature_cloud(fm.create(CFG), c, s, CFG)
+        sharded = smap.add_feature_cloud(smap.create_sharded(CFG, mesh), c, s,
+                                         CFG, mesh)
+        pos = jnp.zeros(3)
+        single = fm.dedup_active(single, pos, CFG)
+        sharded = smap.dedup_active(sharded, pos, CFG, mesh)
+        _assert_states_equal(single, sharded, mesh)
+
+    def test_from_single_roundtrip(self, mesh):
+        rng = np.random.RandomState(4)
+        c, s = _clouds(rng)
+        single = fm.add_feature_cloud(fm.create(CFG), c, s, CFG)
+        sharded = smap.from_single(single, CFG, mesh)
+        _assert_states_equal(single, sharded, mesh)
+
+
+class TestShardedMappingStep:
+    def test_mapping_step_matches_single_device(self, mesh):
+        """One full mapping step (recenter -> gather -> solve -> insert)
+        against the sharded map lands on the same pose and equivalent map
+        as models/laser_mapping.mapping_step."""
+        from cooper_mapper_tpu.config import (
+            MatcherConfig, RegistrationConfig, ScanMatchConfig,
+        )
+        from cooper_mapper_tpu.io import sim
+        from cooper_mapper_tpu.models import laser_mapping
+        from cooper_mapper_tpu.ops import features as feat_ops
+
+        world = sim.make_room_world(size=(30.0, 4.0, 40.0), n_pillars=8,
+                                    seed=21)
+        cfg_r = RegistrationConfig(n_rings=16, max_points_per_ring=512)
+        p0 = np.eye(4, dtype=np.float32)
+        p0[1, 3] = 1.5
+        sw = sim.scan_sweep(world, jnp.asarray(p0), jnp.asarray(p0),
+                            n_rings=16, width=512)
+        fc = feat_ops.extract_features(sw, cfg_r)
+
+        map_cfg = MapConfig(
+            n_cubes=(7, 3, 7), cube_size=20.0,
+            corner_cube_capacity=1024, surf_cube_capacity=2048,
+            surround_corner_capacity=8192, surround_surf_capacity=16384,
+            valid_distance=60.0,
+        )
+        sm_cfg = ScanMatchConfig(score_threshold=50.0)
+        m_cfg = MatcherConfig(max_frame_corner=2048, max_frame_surf=4096)
+
+        def world_cloud(c):
+            xyz = (np.asarray(p0[:3, :3]) @ np.asarray(c.xyz).T).T + p0[:3, 3]
+            return cloud_lib.Cloud(jnp.asarray(xyz), c.mask, c.ring, c.rel_time)
+
+        # seed both maps with the registered first frame
+        seed_c, seed_s = world_cloud(fc.less_sharp), world_cloud(fc.less_flat)
+        single_map = fm.add_feature_cloud(fm.create(map_cfg), seed_c, seed_s,
+                                          map_cfg)
+        sharded_map_state = smap.add_feature_cloud(
+            smap.create_sharded(map_cfg, mesh), seed_c, seed_s, map_cfg, mesh)
+
+        matcher = laser_mapping.MatcherState(
+            L_last=jnp.eye(4, dtype=jnp.float32),
+            W_last=jnp.asarray(p0),
+        )
+        L_now = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(0.05)
+
+        m1, map1, out1 = laser_mapping.mapping_step(
+            matcher, single_map, fc.less_sharp, fc.less_flat, L_now,
+            sm_cfg, m_cfg, map_cfg,
+        )
+        m2, map2, out2 = smap.mapping_step(
+            matcher, sharded_map_state, fc.less_sharp, fc.less_flat, L_now,
+            sm_cfg, m_cfg, map_cfg, mesh,
+        )
+        assert bool(out1.result.success) == bool(out2.result.success)
+        # same surround point set -> same solve inputs; poses agree to f32
+        # reduction-order noise (the surround CLOUD ORDER differs, which
+        # reorders the normal-equation summation)
+        np.testing.assert_allclose(np.asarray(out2.W), np.asarray(out1.W),
+                                   atol=5e-4)
+        # maps agree as point sets per feature class
+        s1 = smap.to_single(map2, map_cfg, mesh.devices.size)
+        for name in ("corner", "surf"):
+            a = getattr(map1, name)
+            b = getattr(s1, name)
+            pa = np.asarray(a.xyz)[np.asarray(a.mask)]
+            pb = np.asarray(b.xyz)[np.asarray(b.mask)]
+            assert abs(len(pa) - len(pb)) <= 2, (name, len(pa), len(pb))
