@@ -44,6 +44,13 @@ STEPS = [
     ("scan_to_map_b256_pallas", [sys.executable,
                                  "benchmarks/bench_scan_match.py", "256"],
      {"COOPER_USE_PALLAS": "1"}, 2400),
+    ("scan_to_map_b1024_pallas", [sys.executable,
+                                  "benchmarks/bench_scan_match.py", "1024"],
+     {"COOPER_USE_PALLAS": "1"}, 3000),
+    # device-sharded map (cube shards + all_gather surround): mapping-step
+    # overhead vs the single-device map at the full map config
+    ("sharded_map_tpu", [sys.executable, "benchmarks/bench_sharded_map.py",
+                         "8", "both"], {"COOPER_USE_PALLAS": "1"}, 2400),
     ("pose_graph_dense_n256", [sys.executable, "benchmarks/bench_pose_graph.py",
                                "256", "dense"], {}, 1500),
     ("pose_graph_dense_n1024", [sys.executable,

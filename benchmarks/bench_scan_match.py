@@ -83,9 +83,16 @@ def build_problem(width=1024, n_rings=16, n_map_sweeps=6,
     )
     # snug static capacities to the valid counts (bench.py "snug": the
     # extractor bounds are sensor-generic, 2-10x the valid counts here, and
-    # dense-race work scales with capacity product, not valid points)
+    # dense-race work scales with capacity product, not valid points).
+    # BENCH_REF_GRAN overrides the REFERENCE clouds' snug granule: the
+    # streaming top-k kernel needs M % tile_m == 0, so a 256-granule M
+    # (5888) silently caps tile_m at 256 — padding the reference to a
+    # 2048-multiple (6144) buys the big reference tiles at ~4% extra race
+    # work (round-4 tile A/B)
     from bench import snug
-    return snug(corner_ds), snug(surf_ds), snug(ref_c), snug(ref_s)
+    ref_gran = int(os.environ.get("BENCH_REF_GRAN", "256"))
+    return (snug(corner_ds), snug(surf_ds),
+            snug(ref_c, ref_gran), snug(ref_s, ref_gran))
 
 
 def main():

@@ -53,9 +53,22 @@ class SlamPipeline:
         mode: str = "mapping",
         map_state: Optional[fm.FeatureMapState] = None,
         initial_pose: Optional[np.ndarray] = None,
+        map_mesh=None,
     ):
+        """``map_mesh``: a jax.sharding.Mesh — shard the cube map over its
+        devices (maps/sharded_map.py: per-device cube shards, all_gather
+        surround; SURVEY §5 axis (b)).  Mapping mode only; mutually
+        exclusive with ``matcher.dynamic_mode`` (disk paging is a host-side
+        single-array path)."""
         self.cfg = cfg
         self.mode = mode
+        self.map_mesh = map_mesh
+        if map_mesh is not None:
+            if mode != "mapping":
+                raise ValueError("map_mesh requires mode='mapping'")
+            if cfg.matcher.dynamic_mode:
+                raise ValueError(
+                    "map_mesh is incompatible with matcher.dynamic_mode")
         r = cfg.registration
         self.odo = laser_odometry.create(r.max_less_sharp, r.max_less_flat)
         self.matcher = laser_mapping.create_matcher()
@@ -71,6 +84,14 @@ class SlamPipeline:
                 cfg.feature_map, cfg.matcher.map_directory
             )
             self.map_state = self.dmap.state
+        elif map_mesh is not None:
+            from ..maps import sharded_map as smap
+
+            self.map_state = (
+                smap.from_single(map_state, cfg.feature_map, map_mesh)
+                if map_state is not None
+                else smap.create_sharded(cfg.feature_map, map_mesh)
+            )
         elif mode in ("mapping", "localization"):
             self.map_state = map_state if map_state is not None else fm.create(cfg.feature_map)
         else:
@@ -145,7 +166,16 @@ class SlamPipeline:
         mo = None
         if (self._sweep_idx % max(cfg.mapping_stride, 1)) == 0 or self._sweep_idx <= 2:
             with self.timer.stage(f"mapping[{self.mode}]", sync=lambda: mo.W):
-                if self.mode == "mapping":
+                if self.mode == "mapping" and self.map_mesh is not None:
+                    from ..maps import sharded_map as smap
+
+                    self.matcher, self.map_state, mo = smap.mapping_step(
+                        self.matcher, self.map_state,
+                        odo_out.corner_for_map, odo_out.surf_for_map, L_now,
+                        cfg.scan_match, cfg.matcher, cfg.feature_map,
+                        self.map_mesh,
+                    )
+                elif self.mode == "mapping":
                     if self.dynamic:
                         # page BEFORE the solve: flush departing cubes to
                         # disk, recenter the window on the host, prefetch
@@ -188,9 +218,17 @@ class SlamPipeline:
                 and self._mapping_count % ds == 0
             ):
                 with self.timer.stage("dedup", sync=lambda: self.map_state.surf.count):
-                    self.map_state = fm.dedup_active(
-                        self.map_state, mo.W[:3, 3], cfg.feature_map
-                    )
+                    if self.map_mesh is not None:
+                        from ..maps import sharded_map as smap
+
+                        self.map_state = smap.dedup_active(
+                            self.map_state, mo.W[:3, 3], cfg.feature_map,
+                            self.map_mesh,
+                        )
+                    else:
+                        self.map_state = fm.dedup_active(
+                            self.map_state, mo.W[:3, 3], cfg.feature_map
+                        )
                 if self.dynamic:
                     self.dmap.state = self.map_state
 
@@ -274,6 +312,16 @@ class SlamPipeline:
         if self.dynamic:
             self.dmap.state = self.map_state
             self.dmap.save()
+
+    def single_map_state(self) -> fm.FeatureMapState:
+        """The map as a single-device FeatureMapState (de-striping the
+        device-sharded map if one is in use) — the form map_io persists."""
+        if self.map_mesh is not None:
+            from ..maps import sharded_map as smap
+
+            return smap.to_single(self.map_state, self.cfg.feature_map,
+                                  self.map_mesh.devices.size)
+        return self.map_state
 
     # ---- fusion outputs ---------------------------------------------------
 

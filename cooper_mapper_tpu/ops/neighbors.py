@@ -95,13 +95,21 @@ def knn_search(q_xyz, r_xyz, r_mask, k: int, chunk: int = 512,
     VMEM; otherwise the query-chunked dense formulation.
     """
     if resolve_backend(backend):
+        import os
+
         from .pallas.nn1 import _pick_tile
 
         # the top-k kernel keeps ~3k live [TQ, TM] temporaries per extraction
         # round, so unlike the 1-NN races it must NOT take the whole reference
-        # as one tile (VMEM): cap the reference tile at 2048
-        tq = _pick_tile(q_xyz.shape[0], (256, 128))
-        tm = _pick_tile(r_xyz.shape[0], (2048, 1024, 512, 256, 128))
+        # as one tile (VMEM): cap the reference tile at 2048.  COOPER_KNN_TQ /
+        # COOPER_KNN_TM override the caps for tile A/B experiments.
+        tq_cap = int(os.environ.get("COOPER_KNN_TQ", "256"))
+        tm_cap = int(os.environ.get("COOPER_KNN_TM", "2048"))
+        tq = _pick_tile(q_xyz.shape[0],
+                        tuple(t for t in (256, 128) if t <= tq_cap))
+        tm = _pick_tile(
+            r_xyz.shape[0],
+            tuple(t for t in (2048, 1024, 512, 256, 128) if t <= tm_cap))
         if tq and tm:
             from .pallas.knn_stream import knn_pallas
 
