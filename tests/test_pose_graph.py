@@ -195,7 +195,7 @@ class TestPcgSolver:
         """One LM step: the PCG update equals the dense solve."""
         graph, gt, est = _noisy_circle_graph(n=14, seed=2)
         lam = jnp.float32(1e-3)
-        H, g, _, _ = pg._assemble(graph, lam)
+        H, g = pg._assemble(graph, lam)
         dx_dense = -jnp.linalg.solve(H, g.reshape(-1, 1))[:, 0]
         H_ii, H_jj, H_ij, g2, _ = pg._edge_blocks(graph)
         np.testing.assert_allclose(np.asarray(g2.reshape(-1)), np.asarray(g),
