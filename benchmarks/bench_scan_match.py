@@ -114,9 +114,16 @@ def main():
     # span measures congestion, and longer batches absorb more preemption —
     # the round-3 "b256 regression" was partly this measurement artifact
     reps = 5
+    trace_dir = os.environ.get("COOPER_XLA_TRACE", "")
     dts = []
-    for _ in range(reps):
+    for r in range(reps):
         x0r = jnp.asarray(0.02 * rng.randn(batch, 6), jnp.float32)
+        if trace_dir and r == 2:
+            with jax.profiler.trace(trace_dir):
+                t0 = time.perf_counter()
+                jax.device_get(solve(*args, x0r).x)
+                dts.append(time.perf_counter() - t0)
+            continue
         t0 = time.perf_counter()
         jax.device_get(solve(*args, x0r).x)
         dts.append(time.perf_counter() - t0)
