@@ -76,25 +76,33 @@ def build_frames(n_steps, width=1024, n_rings=16):
 
 
 def run_single(frames, poses):
+    # per-step device_get of the pose AND a map scalar: the axon relay can
+    # acknowledge block_until_ready without real completion (CLAUDE.md), so
+    # every step is forced through a host fetch that depends on both the
+    # solve and the insert
     matcher = laser_mapping.create_matcher()
     state = fm.create(MAP_CFG)
-    t0 = time.perf_counter()
+    dts = []
     for (c, s), L in zip(frames, poses):
+        t0 = time.perf_counter()
         matcher, state, mo = laser_mapping.mapping_step(
             matcher, state, c, s, L, SM_CFG, M_CFG, MAP_CFG)
-    jax.block_until_ready(mo.W)
-    return time.perf_counter() - t0, state
+        jax.device_get((mo.W[0, 0], state.surf.count[0]))
+        dts.append(time.perf_counter() - t0)
+    return dts, state
 
 
 def run_sharded(frames, poses, mesh):
     matcher = laser_mapping.create_matcher()
     state = smap.create_sharded(MAP_CFG, mesh)
-    t0 = time.perf_counter()
+    dts = []
     for (c, s), L in zip(frames, poses):
+        t0 = time.perf_counter()
         matcher, state, mo = smap.mapping_step(
             matcher, state, c, s, L, SM_CFG, M_CFG, MAP_CFG, mesh)
-    jax.block_until_ready(mo.W)
-    return time.perf_counter() - t0, state
+        jax.device_get((mo.W[0, 0], state.surf.count[0]))
+        dts.append(time.perf_counter() - t0)
+    return dts, state
 
 
 def main():
@@ -106,16 +114,17 @@ def main():
 
     out = {"n_steps": n_steps, "n_devices": ndev,
            "backend": jax.default_backend()}
+    med = lambda v: sorted(v)[len(v) // 2]
     if mode in ("both", "single"):
         # warm the jit caches on the first frame, then time the rest
         run_single(frames[:1], poses[:1])
-        dt, st = run_single(frames[1:], poses[1:])
-        out["single_ms_per_step"] = round(dt * 1e3 / n_steps, 1)
+        dts, st = run_single(frames[1:], poses[1:])
+        out["single_ms_per_step"] = round(med(dts) * 1e3, 1)
         out["single_surf_pts"] = int(jnp.sum(st.surf.count))
     if mode in ("both", "sharded"):
         run_sharded(frames[:1], poses[:1], mesh)
-        dt, st = run_sharded(frames[1:], poses[1:], mesh)
-        out["sharded_ms_per_step"] = round(dt * 1e3 / n_steps, 1)
+        dts, st = run_sharded(frames[1:], poses[1:], mesh)
+        out["sharded_ms_per_step"] = round(med(dts) * 1e3, 1)
         out["sharded_surf_pts"] = int(jnp.sum(st.surf.count))
         # the scaling win: per-device HBM for the map arrays
         bytes_total = sum(

@@ -101,18 +101,26 @@ def knn_search(q_xyz, r_xyz, r_mask, k: int, chunk: int = 512,
 
         # the top-k kernel keeps ~3k live [TQ, TM] temporaries per extraction
         # round, so unlike the 1-NN races it must NOT take the whole reference
-        # as one tile (VMEM): cap the reference tile at 2048.  COOPER_KNN_TQ /
-        # COOPER_KNN_TM override the caps for tile A/B experiments.
+        # as one tile (VMEM): cap the reference tile at 2048.  The reference
+        # is PADDED up to a tile multiple (padded entries carry ||r||^2 = BIG
+        # and never win) — falling back to whatever small tile divides M cost
+        # 28% of scan-to-map throughput at M = 5888 (tile 256 vs padded 2048,
+        # 90.3 -> 126.0 solves/s at b256, bench_artifacts/r4_chip2.log).
+        # COOPER_KNN_TQ / COOPER_KNN_TM override the caps for experiments.
         tq_cap = int(os.environ.get("COOPER_KNN_TQ", "256"))
         tm_cap = int(os.environ.get("COOPER_KNN_TM", "2048"))
-        tq = _pick_tile(q_xyz.shape[0],
-                        tuple(t for t in (256, 128) if t <= tq_cap))
-        tm = _pick_tile(
-            r_xyz.shape[0],
-            tuple(t for t in (2048, 1024, 512, 256, 128) if t <= tm_cap))
-        if tq and tm:
+        Q, M = q_xyz.shape[0], r_xyz.shape[0]
+        tq = _pick_tile(Q, tuple(t for t in (256, 128) if t <= tq_cap))
+        tm = min(tm_cap, 2048)
+        if M <= tm:
+            tm = -(-M // 128) * 128       # small reference: one snug tile
+        m_pad = (-M) % tm
+        if tq:
             from .pallas.knn_stream import knn_pallas
 
+            if m_pad:
+                r_xyz = jnp.pad(r_xyz, ((0, m_pad), (0, 0)))
+                r_mask = jnp.pad(r_mask, (0, m_pad))
             return knn_pallas(q_xyz, r_xyz, r_mask, k, tile_q=tq, tile_m=tm,
                               interpret=_interpret())
     return knn_chunked(q_xyz, r_xyz, r_mask, k, chunk)
