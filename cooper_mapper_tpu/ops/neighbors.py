@@ -221,6 +221,25 @@ def _pallas_tiles(q: int, m: int):
     return (tq, tm) if tq and tm else None
 
 
+def _pad_ref_arrays(ref, mult: int = 128):
+    """(xyz, ring, mask, padded_M): reference arrays padded to a tile
+    multiple.  Padded entries are masked out, so they carry ||r||^2 = BIG in
+    the kernels and never win a race; ring 0 is irrelevant under mask=False.
+    Without this, any reference whose capacity is not a multiple of the tile
+    ladder silently fell back to the dense path (28% throughput on the
+    scan-to-map 5-NN at M = 5888; same gate here)."""
+    M = ref.capacity
+    pad = (-M) % mult
+    if pad == 0:
+        return ref.xyz, ref.ring, ref.mask, M
+    return (
+        jnp.pad(ref.xyz, ((0, pad), (0, 0))),
+        jnp.pad(ref.ring, (0, pad)),
+        jnp.pad(ref.mask, (0, pad)),
+        M + pad,
+    )
+
+
 def _fused_tile_q(q: int, m: int):
     """Query tile for the fused one-tile-per-search kernel, or 0 to skip.
 
@@ -300,23 +319,24 @@ def corner_pairs(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
     if resolve_backend(backend):
         from .pallas import nn1 as nn1_mod
 
-        ftq = _fused_tile_q(q_xyz.shape[0], ref.capacity)
+        rx, rring, rmask, M = _pad_ref_arrays(ref)
+        ftq = _fused_tile_q(q_xyz.shape[0], M)
         if ftq:
             ia, da, ib, db = nn1_mod.fused_races_pallas(
-                q_xyz, ref.xyz, ref.ring, ref.mask, with_same=False,
+                q_xyz, rx, rring, rmask, with_same=False,
                 ring_span=ring_span, tile_q=ftq, interpret=_interpret(),
             )
             valid = (da < max_sq_dist) & (db < max_sq_dist)
             return ia, ib, valid
-        tiles = _pallas_tiles(q_xyz.shape[0], ref.capacity)
+        tiles = _pallas_tiles(q_xyz.shape[0], M)
         if tiles:
             tq, tm = tiles
             ia, da = nn1_mod.nn1_pallas(
-                q_xyz, ref.xyz, ref.mask, tile_q=tq, tile_m=tm,
+                q_xyz, rx, rmask, tile_q=tq, tile_m=tm,
                 interpret=_interpret(),
             )
             ib, db = nn1_mod.nn1_masked_pallas(
-                q_xyz, ref.ring[ia], ia, ref.xyz, ref.ring, ref.mask,
+                q_xyz, rring[ia], ia, rx, rring, rmask,
                 "adj", ring_span, tile_q=tq, tile_m=tm,
                 interpret=_interpret(),
             )
@@ -359,39 +379,40 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
     if resolve_backend(backend):
         from .pallas import nn1 as nn1_mod
 
-        ftq = _fused_tile_q(q_xyz.shape[0], ref.capacity)
+        rx, rring, rmask, M = _pad_ref_arrays(ref)
+        ftq = _fused_tile_q(q_xyz.shape[0], M)
         if ftq:
             ia, da, ib, db, ic, dc = nn1_mod.fused_races_pallas(
-                q_xyz, ref.xyz, ref.ring, ref.mask, with_same=True,
+                q_xyz, rx, rring, rmask, with_same=True,
                 ring_span=ring_span, tile_q=ftq, interpret=_interpret(),
             )
             valid = (da < max_sq_dist) & (db < max_sq_dist) & (dc < max_sq_dist)
             return ia, ib, ic, valid
-        tiles = _pallas_tiles(q_xyz.shape[0], ref.capacity)
+        tiles = _pallas_tiles(q_xyz.shape[0], M)
         if tiles:
             import os
 
             tq, tm = tiles
             ia, da = nn1_mod.nn1_pallas(
-                q_xyz, ref.xyz, ref.mask, tile_q=tq, tile_m=tm,
+                q_xyz, rx, rmask, tile_q=tq, tile_m=tm,
                 interpret=_interpret(),
             )
-            ring_a = ref.ring[ia]
+            ring_a = rring[ia]
             if os.environ.get("COOPER_PALLAS_BC", "0") == "1":
                 # B + C on one shared distance tile (2 tiles/refresh not 3);
                 # opt-in pending on-chip measurement
                 ib, db, ic, dc = nn1_mod.bc_races_pallas(
-                    q_xyz, ring_a, ia, ref.xyz, ref.ring, ref.mask,
+                    q_xyz, ring_a, ia, rx, rring, rmask,
                     ring_span, tile_q=tq, tile_m=tm, interpret=_interpret(),
                 )
             else:
                 ib, db = nn1_mod.nn1_masked_pallas(
-                    q_xyz, ring_a, ia, ref.xyz, ref.ring, ref.mask,
+                    q_xyz, ring_a, ia, rx, rring, rmask,
                     "same", ring_span, tile_q=tq, tile_m=tm,
                     interpret=_interpret(),
                 )
                 ic, dc = nn1_mod.nn1_masked_pallas(
-                    q_xyz, ring_a, ia, ref.xyz, ref.ring, ref.mask,
+                    q_xyz, ring_a, ia, rx, rring, rmask,
                     "adj", ring_span, tile_q=tq, tile_m=tm,
                     interpret=_interpret(),
                 )
