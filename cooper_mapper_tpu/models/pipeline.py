@@ -107,6 +107,13 @@ class SlamPipeline:
             )
         self.graph_trajectory: list[np.ndarray] = []
         self._mapping_count = 0
+        # the reference's destructor counters (ScanMatch.cpp:35-49 prints
+        # match_count / fail_match_count / averageScore at teardown;
+        # MultiScanRegistration.cpp:14-16 counts frames) — kept live here
+        # and reported by stats()
+        self._match_count = 0
+        self._fail_match_count = 0
+        self._total_score = 0.0
         if initial_pose is not None:
             T0 = jnp.asarray(initial_pose, jnp.float32)
             self.matcher = laser_mapping.MatcherState(
@@ -208,6 +215,11 @@ class SlamPipeline:
             mapped_pose = np.asarray(mo.W)
             mapping_success = bool(mo.result.success)
             self._mapping_count += 1
+            if mapping_success:
+                self._match_count += 1
+                self._total_score += float(mo.result.score)
+            else:
+                self._fail_match_count += 1
             # in-loop map hygiene: re-voxelize the active cubes so long runs
             # never saturate cube capacity (downsizeValidCloud runs every
             # mapping pass in the reference, FeatureMap.h:289-306; the stride
@@ -312,6 +324,26 @@ class SlamPipeline:
         if self.dynamic:
             self.dmap.state = self.map_state
             self.dmap.save()
+
+    def stats(self) -> dict:
+        """Frame/solve accounting — the reference's destructor printouts
+        (ScanMatch match/fail/averageScore, ScanMatch.cpp:35-49; frame
+        counters, MultiScanRegistration.cpp:14-16; keyframe counters,
+        keyframe_updater.hpp:17-19) as one queryable dict."""
+        out = {
+            "frames": self._sweep_idx,
+            "mapping_solves": self._mapping_count,
+            "match_count": self._match_count,
+            "fail_match_count": self._fail_match_count,
+            "average_score": (
+                self._total_score / self._match_count
+                if self._match_count else 0.0
+            ),
+        }
+        if self.graph is not None:
+            out["keyframes"] = len(self.graph.keyframes)
+            out["loop_closures"] = len(self.graph.loops)
+        return out
 
     def single_map_state(self) -> fm.FeatureMapState:
         """The map as a single-device FeatureMapState (de-striping the

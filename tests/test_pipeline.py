@@ -222,3 +222,19 @@ class TestFigureEightRun:
         assert stats.rmse < odo_stats.rmse, (
             f"mapping ({stats.rmse}) worse than odometry ({odo_stats.rmse})"
         )
+
+
+class TestPipelineStats:
+    def test_stats_accounting(self):
+        """The destructor-counter report (ScanMatch.cpp:35-49 equivalent):
+        frames, mapping solves, match/fail counts, average score."""
+        sweeps, gt = _simulate(n_sweeps=6)
+        pipe = SlamPipeline(_small_cfg(), mode="mapping")
+        for s in sweeps:
+            pipe.process(s)
+        st = pipe.stats()
+        assert st["frames"] == 6
+        assert st["mapping_solves"] >= 3
+        assert st["match_count"] + st["fail_match_count"] == st["mapping_solves"]
+        if st["match_count"]:
+            assert st["average_score"] > 0.0
