@@ -398,9 +398,12 @@ def surf_triples(q_xyz, ref, max_sq_dist: float, ring_span: float = 2.5,
                 interpret=_interpret(),
             )
             ring_a = rring[ia]
-            if os.environ.get("COOPER_PALLAS_BC", "0") == "1":
-                # B + C on one shared distance tile (2 tiles/refresh not 3);
-                # opt-in pending on-chip measurement
+            if os.environ.get("COOPER_PALLAS_BC", "1") != "0":
+                # B + C on ONE shared distance tile (2 tile streams per surf
+                # refresh instead of 3) — the round-4 default: headline
+                # 1373.9 -> 1667.2 solves/s (+21%, repeat 1657.0;
+                # bench_artifacts/r4_chip4.log).  COOPER_PALLAS_BC=0 restores
+                # the separate-kernel races for A/B experiments.
                 ib, db, ic, dc = nn1_mod.bc_races_pallas(
                     q_xyz, ring_a, ia, rx, rring, rmask,
                     ring_span, tile_q=tq, tile_m=tm, interpret=_interpret(),
