@@ -103,8 +103,8 @@ def main():
     # defaults: measured round-4 values; override with --peaks
     mm_tflops, hbm_gbs = 197.0, 819.0       # v5e datasheet (bf16, HBM2)
     vpu_tops = 1.9                          # 8x128 lanes x ~940 MHz x 2 ALUs
-    headline_sps = 1376.0
-    sm_sps = 100.9
+    headline_sps = 1667.0    # round-4 BC-default headline (r4_chip4.log)
+    sm_sps = 142.0           # round-4 padded b64 (r4_chip3.log)
     args = sys.argv[1:]
     if args and args[0] == "--peaks":
         mm_tflops, hbm_gbs = float(args[1]), float(args[2])
