@@ -6,7 +6,9 @@ having really finished (see CLAUDE.md); every measured call here therefore
 lax.scan (amortizing relay round-trips), and (c) is forced with
 jax.device_get of a scalar consumer.
 """
-import time, numpy as np, jax, jax.numpy as jnp
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
 import cooper_mapper_tpu  # noqa: F401
 
 d = jax.devices()[0]
