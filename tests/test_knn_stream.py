@@ -73,3 +73,37 @@ class TestKnnStream:
             idx_d, d_d = neighbors.knn(qs[s], rs[s], ms[s], 5)
             np.testing.assert_array_equal(np.asarray(idx_b[s]),
                                           np.asarray(idx_d))
+
+
+class TestDispatchPadding:
+    """knn_search pads non-tile-divisible references internally (the round-4
+    fix: falling back to the largest divisor tile cost 28-41% on chip)."""
+
+    def test_odd_M_matches_dense(self, monkeypatch):
+        monkeypatch.setenv("COOPER_PALLAS_INTERPRET", "1")
+        for M in (5888, 1000, 130):   # 256-gran, odd, just-over-tile
+            q, r, mask = _problem(seed=M, Q=128, M=128)
+            rng = np.random.RandomState(M)
+            r = jnp.asarray(rng.randn(M, 3) * 4, jnp.float32)
+            mask = jnp.asarray(rng.rand(M) > 0.1)
+            idx_p, d_p = neighbors.knn_search(q, r, mask, 5,
+                                              backend="pallas")
+            idx_d, d_d = neighbors.knn(q, r, mask, 5)
+            np.testing.assert_array_equal(np.asarray(idx_p),
+                                          np.asarray(idx_d), err_msg=str(M))
+            # distances via the expansion vs the dense where-mask differ
+            # at f32 rounding; compare only the real (non-sentinel) lanes
+            dp, dd = np.asarray(d_p), np.asarray(d_d)
+            real = dd < 1e11
+            np.testing.assert_allclose(dp[real], dd[real],
+                                       rtol=1e-5, atol=1e-4)
+
+    def test_padded_indices_never_win(self, monkeypatch):
+        # all-masked reference: every returned distance must be the BIG
+        # sentinel class (>= 1e11), never a padded row's finite distance
+        monkeypatch.setenv("COOPER_PALLAS_INTERPRET", "1")
+        q, _, _ = _problem(seed=3, Q=128, M=128)
+        r = jnp.zeros((300, 3), jnp.float32)
+        mask = jnp.zeros(300, bool)
+        _, d_p = neighbors.knn_search(q, r, mask, 5, backend="pallas")
+        assert float(np.asarray(d_p).min()) >= 1e11
