@@ -121,8 +121,10 @@ class DynamicFeatureMap:
         if not np.any(shift != 0):
             return
 
-        # flush BEFORE recentring: the roll invalidates cubes leaving the
-        # window, so their contents must be queued for disk first
+        # flush BEFORE recentring: the toroidal recenter mask-clears the
+        # slots of cubes leaving the window in place (and entering world
+        # cubes immediately reuse them), so departing contents must be
+        # queued for disk first
         self._flush_keys(self._leaving_keys(shift))
         self.state = fm.recenter(self.state, jnp.asarray(sensor_pos), cfg)
         self._load_entering()

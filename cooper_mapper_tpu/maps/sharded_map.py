@@ -292,11 +292,18 @@ def _surround_jit(cfg: MapConfig, mesh):
 def get_surround(state: ShardedMapState, sensor_pos, cfg: MapConfig, mesh):
     """Cross-device surround gather: (corner, surf) Clouds, replicated.
 
-    Capacity note: each device contributes at most ``capacity / ndev``
-    points.  The stripe spreads a localized surround ~uniformly (the z axis
-    strides the stripe), so for the configured capacities this matches the
-    single-device gather; a pathological all-points-in-one-z-column map
-    could truncate earlier than the single-device path would.
+    Capacity note: each device contributes at most ``ceil(capacity / ndev)``
+    points, so the gather can truncate points the single-device gather would
+    keep whenever any ONE device owns more than its share — i.e. whenever
+    the per-device active-point ownership is uneven enough that
+    ``max_d(points on d) > capacity / ndev``, even with the total below
+    ``capacity``.  The stripe spreads a localized surround ~uniformly (the z
+    axis strides the stripe), but dense near-sensor cubes skew ownership:
+    one full surf cube (``surf_cube_capacity`` points) saturates a device's
+    share once ``capacity / ndev`` drops below the cube capacity.  Size
+    ``surround_*_capacity`` with headroom (>= ndev * cube capacity keeps a
+    single hot cube from ever truncating); the all-in-one-z-column map is
+    just the pathological extreme of the same condition.
     """
     return _surround_jit(cfg, mesh)(
         state.corner, state.surf, state.origin, jnp.asarray(sensor_pos))

@@ -102,7 +102,8 @@ def mapping_step(
 
     ``recenter=False`` skips the in-jit recentring — the dynamic (out-of-core)
     pipeline mode recenters on the host inside DynamicFeatureMap.page(),
-    which must flush departing cubes to disk BEFORE the roll invalidates them
+    which must flush departing cubes to disk BEFORE the toroidal recenter
+    mask-clears their slots for reuse by entering world cubes
     (DynamicFeatureMap.h:504-677).
 
     Returns (matcher', map_state', MappingOutput).

@@ -106,14 +106,16 @@ def knn_search(q_xyz, r_xyz, r_mask, k: int, chunk: int = 512,
         # and never win) — falling back to whatever small tile divides M cost
         # 28% of scan-to-map throughput at M = 5888 (tile 256 vs padded 2048,
         # 90.3 -> 126.0 solves/s at b256, bench_artifacts/r4_chip2.log).
-        # COOPER_KNN_TQ / COOPER_KNN_TM override the caps for experiments.
+        # COOPER_KNN_TQ / COOPER_KNN_TM override the caps for experiments
+        # (TM is honored verbatim after rounding down to a 128 multiple, so
+        # values above the 2048 default raise the cap too).
         tq_cap = int(os.environ.get("COOPER_KNN_TQ", "256"))
         tm_cap = int(os.environ.get("COOPER_KNN_TM", "2048"))
         Q, M = q_xyz.shape[0], r_xyz.shape[0]
         tq = _pick_tile(Q, tuple(t for t in (256, 128) if t <= tq_cap))
-        tm = min(tm_cap, 2048)
+        tm = max(128, (tm_cap // 128) * 128)
         if M <= tm:
-            tm = -(-M // 128) * 128       # small reference: one snug tile
+            tm = min(tm, -(-M // 128) * 128)  # small reference: one snug tile
         m_pad = (-M) % tm
         if tq:
             from .pallas.knn_stream import knn_pallas
@@ -127,6 +129,7 @@ def knn_search(q_xyz, r_xyz, r_mask, k: int, chunk: int = 512,
 
 
 _PALLAS_PROBE: bool | None = None
+_DOWNGRADE_NOTICE: bool = False
 
 
 def resolve_backend(backend: str = "auto") -> bool:
@@ -150,6 +153,23 @@ def resolve_backend(backend: str = "auto") -> bool:
     import os
 
     if jax.default_backend() != "tpu" and not _interpret():
+        # an explicit "pallas" request on a non-TPU backend degrades to the
+        # dense path ~10x slower — e.g. a TPU session where the axon backend
+        # failed to register and JAX fell back to CPU.  Make that observable
+        # once instead of silently running degraded.
+        if backend == "pallas" or os.environ.get("COOPER_USE_PALLAS", "") == "1":
+            global _DOWNGRADE_NOTICE
+            if not _DOWNGRADE_NOTICE:
+                import sys
+
+                print(
+                    "cooper_mapper_tpu: kernel_backend='pallas' requested but "
+                    f"jax backend is {jax.default_backend()!r}; using dense NN "
+                    "kernels (set COOPER_PALLAS_INTERPRET=1 to force "
+                    "interpreted Pallas)",
+                    file=sys.stderr, flush=True,
+                )
+                _DOWNGRADE_NOTICE = True
         return False
     env = os.environ.get("COOPER_USE_PALLAS", "")
     if env == "0":
