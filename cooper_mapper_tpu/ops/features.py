@@ -167,11 +167,15 @@ def scan_status(xyz, mask, cfg: RegistrationConfig):
     # reference fills curvature_region entries starting at i-cr+1 for the
     # depth1>depth2 branch and i+1.. for the other; see :509-519.
 
+    # EDGE_BROKEN goes on the NEAR (foreground) boundary point — the
+    # silhouette edge of the occluder (ScanRegistration.cpp:505-517):
+    # depth1 > depth2 -> edge at i+1 (the nearer next point);
+    # else            -> edge at i (the nearer current point).
     smooth_prev = diff_prev / jnp.maximum(diff_next, 1e-12) < 0.2
-    edge_far = (occ_next & smooth_prev)                      # edge at i (far side)
-    edge_far = edge_far | _shift(occ_here & smooth_prev, 1, False)  # edge at i+1
+    edge_pt = occ_here & smooth_prev                          # edge at i
+    edge_pt = edge_pt | _shift(occ_next & smooth_prev, -1, False)  # at i+1
     # eligibility: not already blocked
-    edge = edge_far & ~near & ~blind
+    edge = edge_pt & ~near & ~blind
 
     status = jnp.zeros(mask.shape, jnp.int32)
     status = jnp.where(edge, EDGE_BROKEN, status)
@@ -248,22 +252,33 @@ def classify(xyz, mask, cfg: RegistrationConfig):
 
 
 def _region_ids(mask, cfg: RegistrationConfig):
-    """Equal-count azimuthal region id per point, [-1 outside feature span].
+    """Azimuthal region id per point, [-1 outside feature span].
 
-    Reference splits [start+cr, end-cr] into n regions of equal point count
-    (:248-257); with front-packed masks the rank of a point is its index among
-    valid points.
+    Uses the reference's EXACT integer region bounds (:248-257):
+    ``sp_j = (cr*(nreg-j) + (end-cr)*j) // nreg`` and
+    ``ep_j = sp_{j+1} - 1`` over [cr, end-cr-1]; regions with ``ep <= sp``
+    are skipped, rings with ``end <= 2*cr`` are skipped entirely (:205).
+    With front-packed masks the rank of a point is its scan index.
     """
     cr = cfg.curvature_region
     nreg = cfg.n_feature_regions
     rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
     count = jnp.sum(mask.astype(jnp.int32), axis=-1, keepdims=True)
-    lo = cr
-    hi = count - 1 - cr
-    span = jnp.maximum(hi - lo + 1, 1)
-    rid = (nreg * (rank - lo)) // span
+    end = count - 1                                    # [..., 1]
+    j = jnp.arange(nreg + 1, dtype=jnp.int32)
+    sp = (cr * (nreg - j) + (end - cr) * j) // nreg    # [..., nreg+1]
+    # region j = [sp_j, sp_{j+1} - 1]; sp_nreg - 1 = end - cr - 1 (the
+    # reference's last feature index: the final ep subtracts one)
+    rid = jnp.sum(rank[..., None] >= sp[..., None, :-1], axis=-1) - 1
     rid = jnp.clip(rid, 0, nreg - 1)
-    in_span = mask & (rank >= lo) & (rank <= hi - 0) & (count[..., 0:1] > 2 * cr + 2)
+    # skip degenerate regions (ep <= sp, :259-261)
+    region_ok = (sp[..., 1:] - 1) > sp[..., :-1]       # [..., nreg]
+    ok = jnp.take_along_axis(
+        jnp.broadcast_to(region_ok, rank.shape[:-1] + (nreg,)), rid, axis=-1
+    )
+    in_span = (
+        mask & ok & (rank >= cr) & (rank <= end - cr - 1) & (end > 2 * cr)
+    )
     return jnp.where(in_span, rid, -1)
 
 
@@ -370,8 +385,15 @@ def _extract_impl(sweep: Sweep, cfg: RegistrationConfig):
     # edge-broken points are corners outright (:297-302)
     edge_broken = in_span & (status == EDGE_BROKEN)
 
-    # ---- oneside-flat picking: top-4 per region by curvature (:344-353) ---
+    # ---- oneside-flat picking (:318-353): the surfPickedNum bound is
+    # SHARED between classify-SURFACE_FLAT points (which consume it without
+    # being pushed, :324-327) and ONESIDE_FLAT points (pushed, :345-349), in
+    # descending curvature order — so pick top-4 over the UNION and keep
+    # only the oneside members.
     oneside_elig = in_span & high_curv & (cls == CLS_ONESIDE_FLAT)
+    oneside_union = oneside_elig | (
+        in_span & high_curv & (cls == CLS_SURFACE_FLAT)
+    )
 
     def per_ring_oneside(curv_r, elig_r, rid_r):
         picked, _, _, _ = _pick_topk_per_region(
@@ -379,7 +401,10 @@ def _extract_impl(sweep: Sweep, cfg: RegistrationConfig):
         )
         return picked
 
-    oneside_picked = jax.vmap(per_ring_oneside)(curv, oneside_elig, region_id)
+    oneside_picked = (
+        jax.vmap(per_ring_oneside)(curv, oneside_union, region_id)
+        & oneside_elig
+    )
 
     sharp_mask = sharp_picked | edge_broken
     less_sharp_mask = sharp_elig | edge_broken

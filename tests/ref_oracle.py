@@ -506,3 +506,214 @@ def scan_match_scan(
         trace=trace, x=x, converged=converged, score=score,
         percent=percent, accepted=accepted,
     )
+
+
+# ===========================================================================
+# Feature extraction oracle (ScanRegistration::extractFeatures and helpers,
+# /root/reference/L_SLAM/src/odometry/ScanRegistration.cpp:190-666)
+# ===========================================================================
+#
+# A literal per-ring python transcription of the sequential greedy feature
+# picker: setScanBuffersFor's order-dependent occlusion/blind sweep
+# (:462-522), setRegionBuffersFor's curvature + stable merge sort (:420-460),
+# the flat picks with markAsPicked +/-cr suppression (:267-284, :524-545),
+# the edge-broken promotion (:287-303), and the descending-curvature
+# pointClassify scan (:305-354, :547-666).  Labels and thresholds are the
+# reference's (PointLabel enum, ScanRegistration.h:23-40).
+#
+# tests/test_features.py::TestFeaturesGolden compares the picked sets against
+# ops/features.extract_features, asserting parity where the documented
+# order-independence deviations (ops/features.py:10-22) cannot bite and
+# quantifying the picked-set Jaccard where they can.
+
+FEAT_SURF_PICKED_NEAR = 3
+FEAT_EDGE_BROKEN = -2
+FEAT_NEAR_BLOCK = -3
+FEAT_BLIND_BLOCK = -4
+
+FEAT_MESSY = 9
+FEAT_SURFACE_FLAT = -1
+FEAT_CORNER_SHARP = 1
+FEAT_ONESIDE_FLAT = 5
+
+
+def _cos_angle_np(a, b):
+    """calcCosAngleDiff (math_utils.h:87-99)."""
+    num = float(np.dot(a, b))
+    den = float(np.linalg.norm(a) * np.linalg.norm(b))
+    return num / den if den > 0 else 1.0
+
+
+def feat_scan_buffers(pts, cr, blind_threshold):
+    """setScanBuffersFor (ScanRegistration.cpp:462-522), startIdx=0,
+    endIdx=n-1.  Returns the int status buffer (0 = untouched)."""
+    n = len(pts)
+    buf = np.zeros(n, np.int64)
+
+    for i in range(cr):
+        if _cos_angle_np(pts[i], pts[i + 1]) < blind_threshold:
+            buf[i:i + cr + 1] = FEAT_BLIND_BLOCK
+    for i in range(cr):
+        if _cos_angle_np(pts[n - 1 - i], pts[n - 2 - i]) < blind_threshold:
+            s = n - 1 - i - cr
+            buf[s:s + cr + 1] = FEAT_BLIND_BLOCK
+
+    for i in range(cr, n - 1 - cr):
+        prev_p, p, nxt = pts[i - 1], pts[i], pts[i + 1]
+        diff_next = float(np.sum((nxt - p) ** 2))
+        if _cos_angle_np(p, nxt) < blind_threshold:
+            buf[i - cr + 1:i - cr + 1 + 2 * cr] = FEAT_BLIND_BLOCK
+            continue
+        if diff_next > 1.0:
+            depth1 = float(np.linalg.norm(p))
+            depth2 = float(np.linalg.norm(nxt))
+            diff_prev = float(np.sum((prev_p - p) ** 2))
+            if depth1 > depth2:
+                if buf[i + 1] > FEAT_NEAR_BLOCK and diff_prev / diff_next < 0.2:
+                    buf[i + 1] = FEAT_EDGE_BROKEN
+                buf[i - cr + 1:i - cr + 1 + cr] = FEAT_NEAR_BLOCK
+            else:
+                if buf[i] > FEAT_NEAR_BLOCK and diff_prev / diff_next < 0.2:
+                    buf[i] = FEAT_EDGE_BROKEN
+                buf[i + 1:i + 1 + cr] = FEAT_NEAR_BLOCK
+    return buf
+
+
+def feat_curvature(pts, sp, ep, cr):
+    """setRegionBuffersFor curvature (:420-446): region-local array."""
+    out = np.empty(ep - sp + 1)
+    for ridx, i in enumerate(range(sp, ep + 1)):
+        d = -2.0 * cr * pts[i].copy()
+        for j in range(1, cr + 1):
+            d += pts[i + j] + pts[i - j]
+        out[ridx] = float(np.dot(d, d))
+    return out
+
+
+def feat_sort_indices(curv, sp):
+    """Stable ascending sort by curvature -> global indices (mergeSort with
+    <=, ScanRegistration.h:280-311 — stable, ties keep index order)."""
+    order = np.argsort(curv, kind="stable")
+    return order + sp
+
+
+def feat_point_classify(pts, idx, cr, eig12=100.0, eig13=10000.0, tol=0.08):
+    """pointClassify (:547-666): two one-sided PCA line fits."""
+
+    def side(window):
+        a = np.stack(window)                      # [cr+1, 3]
+        centroid = a.mean(axis=0)
+        d = a - centroid
+        cov = (d.T @ d) / (cr + 1)
+        lam, vec = np.linalg.eigh(cov)            # ascending
+        if lam[2] > eig12 * lam[1] and lam[2] > eig13 * lam[0]:
+            v = vec[:, 2]
+            for dj in d:
+                dist = np.linalg.norm(np.cross(dj, v)) / np.linalg.norm(v)
+            # literal loop: breaks on first violation
+                if abs(dist) > tol:
+                    return False, v
+            return True, v
+        return False, vec[:, 2]
+
+    line1, v1 = side([pts[idx - j] for j in range(0, cr + 1)])
+    line2, v2 = side([pts[idx + j] for j in range(0, cr + 1)])
+
+    if line1 and line2:
+        diff = _cos_angle_np(v1, v2)
+        if diff < np.cos(np.deg2rad(175.0)) or diff > np.cos(np.deg2rad(5.0)):
+            return FEAT_SURFACE_FLAT
+        if np.cos(np.deg2rad(135.0)) < diff < np.cos(np.deg2rad(45.0)):
+            return FEAT_CORNER_SHARP
+    if line1 or line2:
+        return FEAT_ONESIDE_FLAT
+    return FEAT_MESSY
+
+
+@dataclasses.dataclass
+class RingFeatures:
+    sharp: List[int]
+    less_sharp: List[int]
+    flat: List[int]
+    less_flat: List[int]          # pre-voxel-filter pool
+    status: np.ndarray            # final _scanNeighborPicked buffer
+
+
+def extract_features_ring(pts, cr=5, nreg=6, max_corner_sharp=2,
+                          max_surface_flat=4, surf_thresh=0.02,
+                          blind_threshold=None):
+    """extractFeatures for ONE ring (:199-418), literal sequential order.
+
+    pts: [n, 3] float64 valid points in scan order.  Returns RingFeatures of
+    ring-local indices (duplicates preserved where the reference pushes the
+    same point into several clouds).
+    """
+    if blind_threshold is None:
+        blind_threshold = float(np.cos(np.deg2rad(0.5)))
+    pts = [np.asarray(p, np.float64) for p in pts]
+    n = len(pts)
+    out = RingFeatures([], [], [], [], np.zeros(n, np.int64))
+    if n - 1 <= 2 * cr:                           # skip empty scans (:205)
+        return out
+
+    buf = feat_scan_buffers(pts, cr, blind_threshold)
+
+    for j in range(nreg):
+        # integer region bounds (:248-257), startIdx=0, endIdx=n-1
+        sp = (cr * (nreg - j) + (n - 1 - cr) * j) // nreg
+        ep = (cr * (nreg - 1 - j) + (n - 1 - cr) * (j + 1)) // nreg - 1
+        if ep <= sp:
+            continue
+        region_size = ep - sp + 1
+        curv = feat_curvature(pts, sp, ep, cr)
+        sort_idx = feat_sort_indices(curv, sp)
+
+        # ---- flat picks: ascending curvature + markAsPicked (:267-284) ----
+        surf_picked = 0
+        for k in range(region_size):
+            if surf_picked >= max_surface_flat:
+                break
+            idx = int(sort_idx[k])
+            if buf[idx] != FEAT_SURF_PICKED_NEAR and curv[idx - sp] < surf_thresh:
+                surf_picked += 1
+                out.flat.append(idx)
+                # markAsPicked (:524-545): label the +/-cr window
+                buf[max(idx - cr, 0):idx + cr + 1] = FEAT_SURF_PICKED_NEAR
+
+        # ---- less-flat pool + edge-broken promotion (:287-303) ------------
+        for k in range(region_size):
+            idx = sp + k
+            if curv[k] < surf_thresh:
+                out.less_flat.append(idx)
+            if buf[idx] == FEAT_EDGE_BROKEN:
+                out.sharp.append(idx)
+                out.less_sharp.append(idx)
+
+        # ---- descending-curvature classify scan (:305-354) -----------------
+        corner_picked = 0
+        surf_picked = 0
+        for k in range(region_size - 1, -1, -1):
+            idx = int(sort_idx[k])
+            if curv[idx - sp] < surf_thresh:
+                break
+            if idx < cr or idx >= n - cr:
+                continue                           # classify window OOB guard
+            label = feat_point_classify(pts, idx, cr)
+            if label == FEAT_SURFACE_FLAT:
+                if surf_picked < max_surface_flat:
+                    surf_picked += 1               # bound consumed, no push
+                out.less_flat.append(idx)
+            elif label == FEAT_CORNER_SHARP:
+                if buf[idx] > FEAT_EDGE_BROKEN:
+                    if corner_picked < max_corner_sharp:
+                        corner_picked += 1
+                        out.sharp.append(idx)
+                    out.less_sharp.append(idx)
+            elif label == FEAT_ONESIDE_FLAT:
+                if surf_picked < max_surface_flat:
+                    surf_picked += 1
+                    out.flat.append(idx)
+                out.less_flat.append(idx)
+
+    out.status = buf
+    return out

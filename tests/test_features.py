@@ -268,3 +268,96 @@ class TestFeatureDebug:
         # region ids: -1 outside the span, within [0, nreg) inside
         rid = np.asarray(dbg.region_id)
         assert rid.min() >= -1 and rid.max() < cfg.n_feature_regions
+
+
+class TestFeaturesGolden:
+    """Set-level pick parity against the literal extractFeatures oracle
+    (tests/ref_oracle.py: ScanRegistration.cpp:190-666 transcribed).
+
+    Scene A is engineered so the documented order-dependence deviations
+    (ops/features.py:10-22) cannot bite — distinct curvatures, features away
+    from region boundaries, no occlusion chains: parity must be EXACT.
+    Scene B (ray-cast pillar world: occlusion chains, large equal-curvature
+    floor plateaus) quantifies the divergence as picked-set Jaccard.
+    """
+
+    W = 1024
+    R = 4
+
+    def _square_ring(self, y, wave_seed=0):
+        """Radial scan of a 10 m square room, corners exactly on samples
+        (az 45/135/225/315 deg at W=1024); wall distance carries a ramped
+        wave so every low-curvature candidate has a distinct curvature."""
+        W = self.W
+        az = np.arange(W) * 2 * np.pi / W
+        denom = np.maximum(np.abs(np.cos(az)), np.abs(np.sin(az)))
+        r = 5.0 / denom
+        quad_pos = (az % (np.pi / 2)) / (np.pi / 2)
+        amp = 0.002 + 0.018 * quad_pos
+        rng = np.random.RandomState(wave_seed)
+        wave = amp * np.sin(24 * 2 * np.pi * quad_pos + rng.uniform(0, 2 * np.pi))
+        corner_k = np.array([128, 384, 640, 896])
+        dist = np.min(np.abs(az[:, None] - az[corner_k][None, :]), axis=1)
+        wave = np.where(dist < 8 * 2 * np.pi / W, 0.0, wave)
+        r = r + wave
+        return np.stack([r * np.cos(az), np.full(W, y), r * np.sin(az)],
+                        -1).astype(np.float32), az / (2 * np.pi)
+
+    def _compare(self, sweep, cfg):
+        from tests import ref_oracle as ro
+
+        _, dbg = features.extract_features_debug(sweep, cfg)
+        sharp_fw = np.asarray(dbg.sharp_picked)
+        flat_fw = np.asarray(dbg.flat_picked)
+        xyz = np.asarray(sweep.xyz)
+        mask = np.asarray(sweep.mask)
+        inter = {"sharp": 0, "flat": 0}
+        union = {"sharp": 0, "flat": 0}
+        exact = True
+        for ri in range(mask.shape[0]):
+            n = int(mask[ri].sum())
+            orc = ro.extract_features_ring(
+                xyz[ri, :n].astype(np.float64),
+                cr=cfg.curvature_region, nreg=cfg.n_feature_regions,
+                max_corner_sharp=cfg.max_corner_sharp,
+                max_surface_flat=cfg.max_surface_flat,
+                surf_thresh=cfg.surface_curvature_threshold,
+                blind_threshold=cfg.blind_threshold,
+            )
+            for key, o_set, f_mask in (
+                ("sharp", set(orc.sharp), sharp_fw[ri][:n]),
+                ("flat", set(orc.flat), flat_fw[ri][:n]),
+            ):
+                f_set = set(np.nonzero(f_mask)[0].tolist())
+                inter[key] += len(o_set & f_set)
+                union[key] += len(o_set | f_set)
+                exact = exact and (o_set == f_set)
+        jac = {k: inter[k] / max(union[k], 1) for k in inter}
+        return exact, jac
+
+    def test_exact_parity_clean_scene(self):
+        cfg = RegistrationConfig(n_rings=self.R, max_points_per_ring=self.W)
+        xyzs, rels = zip(*[self._square_ring(0.2 * ri, wave_seed=ri)
+                           for ri in range(self.R)])
+        sweep = features.Sweep(
+            xyz=jnp.asarray(np.stack(xyzs)),
+            mask=jnp.ones((self.R, self.W), bool),
+            rel_time=jnp.asarray(np.stack(rels), jnp.float32),
+        )
+        exact, jac = self._compare(sweep, cfg)
+        assert exact, f"picked sets differ on the no-bite scene: {jac}"
+        assert jac["sharp"] == 1.0 and jac["flat"] == 1.0
+
+    def test_quantified_divergence_occlusion_scene(self):
+        """Pillar world: occlusion chains exercise the order-dependent
+        sequential buffer; the floor's equal-curvature plateaus make flat
+        tie-breaking diverge between f32 grid and f64 sequential picks.
+        The divergence is bounded, not eliminated — assert the floor."""
+        cfg = RegistrationConfig(n_rings=16, max_points_per_ring=1024)
+        world = sim.make_room_world(seed=11, n_pillars=10)
+        p0 = jnp.eye(4, dtype=jnp.float32).at[1, 3].set(1.5)
+        sweep = sim.scan_sweep(world, p0, p0, n_rings=16, width=1024)
+        exact, jac = self._compare(sweep, cfg)
+        # measured at round 5: sharp 0.93, flat 0.73 (ties dominate flats)
+        assert jac["sharp"] >= 0.85, jac
+        assert jac["flat"] >= 0.60, jac
