@@ -9,6 +9,10 @@ into SlamPipeline; the map, trajectory, and stats are written at the end.
 Run:
   python examples/run_offline.py SWEEP_DIR OUT_DIR [--sensor vlp16|hdl32|hdl64|pandar40]
          [--mode mapping|local] [--stride N]
+  python examples/run_offline.py --bag RECORDING.bag OUT_DIR [...]
+         (rosbag V2.0: converted via cooper_mapper_tpu.io.rosbag, then
+          replayed through the same file path; the reference's own
+          /multi_scan_points + /imu/data topics are picked by default)
 
 With no real data at hand, --selftest generates a simulated drive into a
 temp directory first and then replays it through the exact same file path,
@@ -124,6 +128,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("sweep_dir", nargs="?")
     ap.add_argument("out_dir", nargs="?")
+    ap.add_argument("--bag", help="rosbag V2.0 recording to convert + replay")
+    ap.add_argument("--cloud-topic", help="PointCloud2 topic in the bag")
     ap.add_argument("--sensor", default="vlp16", choices=sorted(SENSORS))
     ap.add_argument("--mode", default="mapping", choices=["mapping", "local"])
     ap.add_argument("--stride", type=int, default=2)
@@ -133,8 +139,24 @@ def main():
     if args.selftest:
         selftest()
         return
+    if args.bag:
+        # positional slot shifts: `run_offline.py --bag foo.bag OUT_DIR`
+        out_dir = args.out_dir or args.sweep_dir
+        if not out_dir:
+            ap.error("OUT_DIR required with --bag")
+        from cooper_mapper_tpu.io import rosbag
+
+        sweep_dir = os.path.join(out_dir, "bag_npz")
+        info = rosbag.bag_to_npz(args.bag, sweep_dir,
+                                 cloud_topic=args.cloud_topic)
+        print(f"bag: {info['n_sweeps']} sweeps from {info['cloud_topic']}, "
+              f"{info['n_imu']} imu msgs, {info['n_gt']} gt poses "
+              f"-> {sweep_dir}")
+        run(sweep_dir, out_dir, args.sensor, args.mode, args.stride,
+            axis_remap=not args.no_axis_remap)
+        return
     if not args.sweep_dir or not args.out_dir:
-        ap.error("SWEEP_DIR and OUT_DIR required (or --selftest)")
+        ap.error("SWEEP_DIR and OUT_DIR required (or --selftest / --bag)")
     run(args.sweep_dir, args.out_dir, args.sensor, args.mode, args.stride,
         axis_remap=not args.no_axis_remap)
 
