@@ -192,19 +192,63 @@ class GraphSlam:
         self.updater = KeyframeUpdater(kf_cfg)
         self.detector = LoopDetector(loop_cfg, sm_cfg)
         self.keyframes: List[Keyframe] = []
-        self.graph = pg.create(pg_cfg.max_nodes, pg_cfg.max_edges)
-        self.n_edges = 0
+        # Ingestion is buffered HOST-SIDE and flushed to the device in one
+        # pg.from_arrays transfer when the graph state is actually needed
+        # (optimize / estimates / .graph).  The previous per-keyframe
+        # pg.add_node/add_edge .at[].set path cost 2-3 device round trips per
+        # keyframe — at reference scale (hundreds of keyframes over a remote
+        # device) the same eager-dispatch pathology as the round-2
+        # per-call-jit bug.  The reference's analog batches too: keyframes
+        # queue under a mutex and flush into g2o once per optimize cycle
+        # (graph.cpp:247-299).
+        self._node_poses: List[np.ndarray] = []       # current estimates
+        self._edges: List[tuple] = []                 # (i, j, T_rel, info)
+        self._graph: Optional[pg.PoseGraph] = None
+        self._dirty = True
         self.loops: List[Loop] = []
         self.accum = 0.0
         self._prev_pose: Optional[np.ndarray] = None
         self.T_odom2graph = np.eye(4, dtype=np.float32)
+
+    @property
+    def n_edges(self) -> int:
+        return len(self._edges)
+
+    @property
+    def graph(self) -> pg.PoseGraph:
+        """Device-resident PoseGraph, flushed from the host buffers."""
+        self._flush()
+        return self._graph
+
+    def _flush(self):
+        if not self._dirty and self._graph is not None:
+            return
+        n = len(self._node_poses)
+        poses = (np.stack(self._node_poses) if n
+                 else np.zeros((0, 4, 4), np.float32))
+        if self._edges:
+            ei = np.array([e[0] for e in self._edges], np.int32)
+            ej = np.array([e[1] for e in self._edges], np.int32)
+            eT = np.stack([e[2] for e in self._edges]).astype(np.float32)
+            einfo = np.stack([e[3] for e in self._edges]).astype(np.float32)
+        else:
+            ei = np.zeros((0,), np.int32)
+            ej = np.zeros((0,), np.int32)
+            eT = np.zeros((0, 4, 4), np.float32)
+            einfo = np.zeros((0, 6), np.float32)
+        self._graph = pg.from_arrays(
+            poses, ei, ej, eT, einfo,
+            max_nodes=self.pg_cfg.max_nodes, max_edges=self.pg_cfg.max_edges,
+        )
+        self._dirty = False
 
     # -- ingestion ---------------------------------------------------------
 
     def add_frame(self, stamp: float, odom_pose: np.ndarray,
                   corner: Cloud, surf: Cloud) -> bool:
         """Keyframe-gated ingestion (graph.cpp:230-245).  Returns True when a
-        keyframe was created."""
+        keyframe was created.  Pure host-side bookkeeping: no device
+        dispatch until the next optimize/estimates."""
         if not self.updater.update(odom_pose):
             return False
         if self._prev_pose is not None:
@@ -218,19 +262,22 @@ class GraphSlam:
         self.keyframes.append(
             Keyframe(stamp, np.asarray(odom_pose), corner, surf, self.accum)
         )
-        est = jnp.asarray(self.T_odom2graph @ odom_pose, jnp.float32)
-        self.graph = pg.add_node(self.graph, idx, est)
+        self._node_poses.append(
+            (self.T_odom2graph @ np.asarray(odom_pose)).astype(np.float32)
+        )
         if idx > 0:
-            T_rel = np.linalg.inv(self.keyframes[idx - 1].odom) @ odom_pose
+            T_rel = np.linalg.inv(self.keyframes[idx - 1].odom) @ np.asarray(
+                odom_pose
+            )
             info = np.array(
                 list(self.pg_cfg.seq_info_trans) + list(self.pg_cfg.seq_info_rot),
                 np.float32,
             )
-            self.graph = pg.add_edge(
-                self.graph, self.n_edges, idx - 1, idx,
-                jnp.asarray(T_rel, jnp.float32), jnp.asarray(info),
-            )
-            self.n_edges += 1
+            if len(self._edges) < self.pg_cfg.max_edges:
+                self._edges.append(
+                    (idx - 1, idx, T_rel.astype(np.float32), info)
+                )
+        self._dirty = True
         return True
 
     # -- optimization cycle ------------------------------------------------
@@ -240,7 +287,7 @@ class GraphSlam:
         the newest keyframe; when found, add the loop edge and run LM."""
         if len(self.keyframes) < 2:
             return None
-        estimates = np.asarray(self.graph.poses[: len(self.keyframes)])
+        estimates = self.estimates()
         new_idx = len(self.keyframes) - 1
         cands = self.detector.find_candidates(self.keyframes, estimates, new_idx)
         if not cands:
@@ -249,42 +296,43 @@ class GraphSlam:
         if loop is None or self.n_edges >= self.pg_cfg.max_edges:
             return None
         info = np.full(6, self.pg_cfg.loop_info, np.float32)
-        self.graph = pg.add_edge(
-            self.graph, self.n_edges, loop.key_old, loop.key_new,
-            jnp.asarray(loop.relative, jnp.float32), jnp.asarray(info),
+        self._edges.append(
+            (loop.key_old, loop.key_new,
+             np.asarray(loop.relative, np.float32), info)
         )
-        self.n_edges += 1
+        self._dirty = True
         self.loops.append(loop)
         self.optimize()
         return loop
 
     def optimize(self):
-        self.graph, diag = pg.optimize(self.graph, self.pg_cfg)
-        # odom->graph correction from the newest keyframe (graph.cpp:368-373)
-        last = len(self.keyframes) - 1
-        est = np.asarray(self.graph.poses[last])
-        self.T_odom2graph = (
-            est @ np.linalg.inv(self.keyframes[last].odom)
-        ).astype(np.float32)
+        self._flush()
+        self._graph, diag = pg.optimize(self._graph, self.pg_cfg)
+        n = len(self.keyframes)
+        if n:
+            # sync the host pose mirror in ONE transfer; odom->graph
+            # correction from the newest keyframe (graph.cpp:368-373)
+            est = np.asarray(self._graph.poses[:n])
+            self._node_poses = [p for p in est]
+            self.T_odom2graph = (
+                est[n - 1] @ np.linalg.inv(self.keyframes[n - 1].odom)
+            ).astype(np.float32)
         return diag
 
     def estimates(self) -> np.ndarray:
-        return np.asarray(self.graph.poses[: len(self.keyframes)])
+        """Current graph pose estimates [K, 4, 4] — host mirror, no device
+        round trip (synced from the device after every optimize)."""
+        if not self._node_poses:
+            return np.zeros((0, 4, 4), np.float32)
+        return np.stack(self._node_poses)
 
     # -- persistence (the /saveGraph service, graph.cpp:106-199) -----------
 
     def edges_list(self):
-        out = []
-        for e in range(self.n_edges):
-            out.append(
-                (
-                    int(self.graph.edge_i[e]),
-                    int(self.graph.edge_j[e]),
-                    np.asarray(self.graph.edge_T[e]),
-                    np.asarray(self.graph.edge_info[e]),
-                )
-            )
-        return out
+        return [
+            (int(i), int(j), np.asarray(T), np.asarray(info))
+            for i, j, T, info in self._edges
+        ]
 
     def save(self, directory: str, map_cfg=None, rebuild_sm_cfg=None):
         """Dump .g2o pre/post optimization, trajectory clouds, and a feature

@@ -71,6 +71,7 @@ def _simulate_loop(n_sweeps=52, noise=0.03, width=512, seed=7):
     return sweeps, np.stack(poses[:n_sweeps])
 
 
+@pytest.mark.slow
 class TestGraphInTheLoop:
     @pytest.fixture(scope="class")
     def run(self):
@@ -137,3 +138,54 @@ class TestGraphInTheLoop:
         poses, edges = map_io.load_g2o(os.path.join(out, "after.g2o"))
         assert len(poses) == len(pipe.graph.keyframes)
         assert len(edges) == pipe.graph.n_edges
+
+
+class TestBulkIngest:
+    def test_500_keyframes_one_transfer(self, monkeypatch):
+        """Keyframe ingestion is host-buffered: 500 add_frame calls issue
+        ZERO device dispatches, and the first graph access flushes in ONE
+        pg.from_arrays transfer (VERDICT r4 item 8; the per-element
+        add_node/add_edge path cost 2-3 round trips per keyframe)."""
+        from cooper_mapper_tpu.models import graph as graph_mod
+        from cooper_mapper_tpu.ops import pose_graph as pg
+        from cooper_mapper_tpu.utils import cloud as cloud_lib
+
+        calls = {"from_arrays": 0}
+        orig = pg.from_arrays
+
+        def counting(*a, **k):
+            calls["from_arrays"] += 1
+            return orig(*a, **k)
+
+        def forbid(*a, **k):
+            raise AssertionError("per-element device ingest path used")
+
+        monkeypatch.setattr(graph_mod.pg, "from_arrays", counting)
+        monkeypatch.setattr(graph_mod.pg, "add_node", forbid)
+        monkeypatch.setattr(graph_mod.pg, "add_edge", forbid)
+
+        gs = graph_mod.GraphSlam(
+            pg_cfg=PoseGraphConfig(max_nodes=512, max_edges=512,
+                                   max_iterations=2)
+        )
+        c = cloud_lib.make(np.zeros((4, 3), np.float32),
+                           np.ones(4, bool))
+        for i in range(500):
+            T = np.eye(4, dtype=np.float32)
+            T[0, 3] = 0.3 * i
+            assert gs.add_frame(0.1 * i, T, c, c)
+        assert calls["from_arrays"] == 0, "ingest touched the device"
+
+        est = gs.estimates()          # host mirror: still no transfer
+        assert est.shape == (500, 4, 4)
+        assert float(est[499, 0, 3]) == pytest.approx(0.3 * 499, rel=1e-6)
+        assert calls["from_arrays"] == 0
+
+        g = gs.graph                  # first device flush
+        assert calls["from_arrays"] == 1
+        assert int(jnp.sum(g.edge_mask)) == 499
+        assert int(jnp.sum(g.node_mask)) == 500
+
+        gs.optimize()                 # reuses the flushed graph
+        assert calls["from_arrays"] == 1
+        assert np.all(np.isfinite(gs.estimates()))
