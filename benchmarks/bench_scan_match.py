@@ -104,7 +104,15 @@ def main():
     rng = np.random.RandomState(0)
 
     solve = jax.jit(lambda a, b, c, d, x: sm.batch_scan_match(a, b, c, d, x, cfg))
-    args = (tile(corner), tile(surf), tile(ref_c), tile(ref_s))
+    # BENCH_SHARED_REF=0 restores the per-problem broadcast reference (the
+    # round-4 shape whose throughput decayed with batch); the default shares
+    # ONE reference across the batch — the aggregated-map workload's real
+    # structure (batch_scan_match docstring)
+    shared = os.environ.get("BENCH_SHARED_REF", "1") == "1"
+    if shared:
+        args = (tile(corner), tile(surf), ref_c, ref_s)
+    else:
+        args = (tile(corner), tile(surf), tile(ref_c), tile(ref_s))
     x0 = jnp.asarray(0.02 * rng.randn(batch, 6), jnp.float32)
     out = solve(*args, x0)
     jax.block_until_ready(out.x)
@@ -131,6 +139,7 @@ def main():
 
     print({
         "batch": batch,
+        "shared_ref": shared,
         "scan_to_map_solves_per_s": round(batch / dt, 2),
         "wall_per_batch_ms": round(dt * 1e3, 1),
         "mean_ms": round(sum(dts) / reps * 1e3, 1),

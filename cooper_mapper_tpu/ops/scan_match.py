@@ -207,5 +207,18 @@ def scan_match_local(
 
 
 def batch_scan_match(corner, surf, ref_corner, ref_surf, x0, cfg, chunk=512):
+    """Batched scan-to-map solves.
+
+    When the reference clouds carry NO batch dimension (xyz [M, 3] instead
+    of [B, M, 3]) they are SHARED across the batch and vmapped with
+    in_axes=None: every real mapping/localization workload matches B frames
+    against ONE surround map (the reference's own structure — one map, many
+    queries, ScanMatch.cpp:97-132), and the unbatched operand lets the
+    batched NN kernels keep one resident reference block instead of
+    re-streaming per problem (reference HBM reads stop scaling with B).
+    Results are bit-identical to broadcasting the reference to [B, ...].
+    """
+    shared_ref = ref_corner.xyz.ndim == 2
     fn = lambda a, b, c, d, x: scan_match(a, b, c, d, x, cfg, chunk)
-    return jax.vmap(fn)(corner, surf, ref_corner, ref_surf, x0)
+    in_axes = (0, 0, None, None, 0) if shared_ref else (0, 0, 0, 0, 0)
+    return jax.vmap(fn, in_axes=in_axes)(corner, surf, ref_corner, ref_surf, x0)

@@ -61,11 +61,115 @@ def sharded_odometry_solve(sharp, flat, last_corner, last_surf, x0, cfg: Odometr
 
 def sharded_scan_match(corner, surf, ref_corner, ref_surf, x0,
                        cfg: ScanMatchConfig, mesh, chunk: int = 512):
-    """Batch-parallel scan-to-map solves over the mesh."""
-    corner, surf, ref_corner, ref_surf, x0 = mesh_lib.shard_batch(
-        (corner, surf, ref_corner, ref_surf, x0), mesh
-    )
+    """Batch-parallel scan-to-map solves over the mesh.
+
+    Unbatched reference clouds (xyz [M, 3]) are REPLICATED across the mesh
+    and shared by every problem (batch_scan_match's shared-reference mode);
+    batched references shard with the batch like every other operand.
+    """
+    corner, surf, x0 = mesh_lib.shard_batch((corner, surf, x0), mesh)
+    if ref_corner.xyz.ndim == 2:
+        rep = mesh_lib.replicated(mesh)
+        ref_corner, ref_surf = jax.tree.map(
+            lambda a: jax.device_put(a, rep), (ref_corner, ref_surf)
+        )
+    else:
+        ref_corner, ref_surf = mesh_lib.shard_batch((ref_corner, ref_surf), mesh)
     return _scan_match_jit(cfg, mesh, chunk)(corner, surf, ref_corner, ref_surf, x0)
+
+
+# ---------------------------------------------------------------------------
+# Capacity-bucketed heterogeneous dispatch: the production shape of BASELINE
+# config 5 ("4096 concurrent sweep solves") is heterogeneous by construction
+# — distinct worlds with distinct per-problem cloud sizes.  Padding every
+# problem to the batch max wastes race work quadratically on the small ones,
+# and a host-side chunk loop (the round-4 bench harness) serializes dispatch.
+# Here every problem is compacted to the next capacity BUCKET of a small
+# static set, problems sharing a bucket signature solve in ONE homogeneous
+# vmapped dispatch, and results scatter back in input order.  One compile per
+# signature, cached for the process lifetime.
+# ---------------------------------------------------------------------------
+
+
+def _bucket_cap(n: int, granule: int) -> int:
+    """Smallest bucket >= n: granule doublings (granule, 2g, 4g, ...) keep
+    the compiled-variant count logarithmic in the size spread."""
+    cap = granule
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+@lru_cache(maxsize=None)
+def _bucket_odometry_jit(cfg: OdometryConfig, caps: tuple, chunk: int):
+    """One compiled variant per (bucket signature, chunk): gather the
+    member problems' rows, compact each cloud to its bucket capacity, solve
+    — a single device dispatch."""
+    from ..utils import cloud as cloud_lib
+
+    cs, cf, crc, crs = caps
+
+    def run(sharp, flat, ref_c, ref_s, x0, idx):
+        take = lambda t: jax.tree.map(lambda a: jnp.take(a, idx, axis=0), t)
+        comp = lambda t, cap: jax.vmap(lambda c: cloud_lib.compact(c, cap))(t)
+        return odo_ops.batch_odometry_solve(
+            comp(take(sharp), cs), comp(take(flat), cf),
+            comp(take(ref_c), crc), comp(take(ref_s), crs),
+            x0[idx], cfg,
+        )
+
+    return jax.jit(run)
+
+
+def bucketed_odometry_solve(sharp, flat, ref_c, ref_s, x0,
+                            cfg: OdometryConfig, granule: int = 512,
+                            chunk: int = 256):
+    """Heterogeneous batched scan-to-scan solves via capacity buckets.
+
+    Inputs are batched Clouds at any (possibly generous) capacities; the
+    per-problem valid counts decide each problem's bucket signature
+    (per-cloud bucket caps).  Each signature dispatches in fixed-size
+    compiled chunks (the last chunk padded by repeating member rows, pad
+    results dropped).  Returns (x [B, 6], states) in input order —
+    numerically identical to solving each problem alone at its bucket
+    capacity.
+    """
+    import numpy as np
+
+    B = x0.shape[0]
+    counts = jax.device_get(
+        [sharp.count(), flat.count(), ref_c.count(), ref_s.count()]
+    )
+    counts = np.stack(counts, axis=1)                       # [B, 4]
+    caps_full = (sharp.capacity, flat.capacity, ref_c.capacity,
+                 ref_s.capacity)
+    sig = np.stack(
+        [[min(_bucket_cap(int(n), granule), full)
+          for n, full in zip(row, caps_full)] for row in counts]
+    )                                                        # [B, 4]
+    order: dict = {}
+    for p in range(B):
+        order.setdefault(tuple(int(v) for v in sig[p]), []).append(p)
+
+    out_members: list = []
+    out_x: list = []
+    out_st: list = []
+    csz = min(chunk, B)
+    for caps, members in sorted(order.items()):
+        fn = _bucket_odometry_jit(cfg, caps, csz)
+        for s0 in range(0, len(members), csz):
+            sl = members[s0:s0 + csz]
+            idx = np.resize(np.asarray(sl, np.int32), csz)  # pad by repeat
+            x, st = fn(sharp, flat, ref_c, ref_s, x0, jnp.asarray(idx))
+            out_members.append(sl)
+            out_x.append(x[: len(sl)])
+            out_st.append(jax.tree.map(lambda a: a[: len(sl)], st))
+    perm = np.argsort(np.concatenate(out_members))
+    x_out = jnp.concatenate(out_x)[perm]
+    st_out = jax.tree.map(
+        lambda *leaves: jnp.concatenate(leaves)[perm], *out_st
+    )
+    return x_out, st_out
 
 
 # ---------------------------------------------------------------------------

@@ -76,3 +76,72 @@ class TestShardedPoseGraphCg:
         np.testing.assert_allclose(
             out_cg.poses[:12, :3, 3], out_dense.poses[:12, :3, 3], atol=1e-2
         )
+
+
+class TestBucketedOdometry:
+    """Capacity-bucketed heterogeneous dispatch (BASELINE config 5's
+    production shape: distinct per-problem cloud sizes)."""
+
+    def _hetero_batch(self, B=6):
+        """Problems with deliberately different valid counts inside
+        generous shared capacities."""
+        from cooper_mapper_tpu.utils import cloud as cloud_lib
+
+        m1 = to._pose(x=0.25, y=0.0, z=0.35)
+        fp, fc, _ = to._sweep_pair(jnp.asarray(m1))
+
+        def shrink(c, keep):
+            """Keep only the first ``keep`` valid points (mask the rest)."""
+            rank = jnp.cumsum(c.mask.astype(jnp.int32)) - 1
+            m = c.mask & (rank < keep)
+            return cloud_lib.Cloud(
+                jnp.where(m[:, None], c.xyz, cloud_lib.FAR), m, c.ring,
+                c.rel_time)
+
+        keeps = [1.0, 1.0, 0.6, 0.6, 0.25, 0.25][:B]
+        packs = []
+        for kf in keeps:
+            packs.append(tuple(
+                shrink(c, max(int(kf * int(c.count())), 40))
+                for c in (fc.sharp, fc.flat, fp.less_sharp, fp.less_flat)
+            ))
+        stack = lambda i: jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[p[i] for p in packs])
+        return stack(0), stack(1), stack(2), stack(3)
+
+    def test_matches_full_capacity_solve(self):
+        sharp, flat, ref_c, ref_s = self._hetero_batch()
+        B = sharp.mask.shape[0]
+        cfg = OdometryConfig(max_iterations=8)
+        rng = np.random.RandomState(0)
+        x0 = jnp.asarray(0.02 * rng.randn(B, 6), jnp.float32)
+
+        xb, stb = pbatch.bucketed_odometry_solve(
+            sharp, flat, ref_c, ref_s, x0, cfg, granule=128, chunk=4)
+        xf, stf = oo.batch_odometry_solve(sharp, flat, ref_c, ref_s, x0, cfg)
+        # same correspondences, different pad-summation order -> tight atol
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xf), atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(stb.n_matched),
+                                      np.asarray(stf.n_matched))
+
+    def test_bucket_signatures_and_order(self):
+        """Distinct sizes land in distinct buckets; results come back in
+        input order even when buckets reorder execution."""
+        sharp, flat, ref_c, ref_s = self._hetero_batch()
+        counts = np.asarray(jax.device_get(ref_s.count()))
+        caps = [pbatch._bucket_cap(int(n), 128) for n in counts]
+        assert len(set(caps)) >= 2, caps
+        B = sharp.mask.shape[0]
+        cfg = OdometryConfig(max_iterations=4)
+        x0 = jnp.asarray(0.02 * np.random.RandomState(1).randn(B, 6),
+                         jnp.float32)
+        xb, _ = pbatch.bucketed_odometry_solve(
+            sharp, flat, ref_c, ref_s, x0, cfg, granule=128, chunk=4)
+        # problems 0 and 1 are identical clouds with identical x0? no — x0
+        # differs; instead check per-problem against the single solve
+        for p in [0, B - 1]:
+            take = lambda t: jax.tree.map(lambda a: a[p], t)
+            xs, _ = oo.odometry_solve(
+                take(sharp), take(flat), take(ref_c), take(ref_s), x0[p], cfg)
+            np.testing.assert_allclose(np.asarray(xb[p]), np.asarray(xs),
+                                       atol=2e-4)
