@@ -14,6 +14,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # 2-process spawns; see pytest.ini
+
 _CHILD = r"""
 import os, sys
 os.environ["PALLAS_AXON_POOL_IPS"] = ""

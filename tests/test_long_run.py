@@ -21,6 +21,8 @@ from cooper_mapper_tpu.io import evaluation, sim
 from cooper_mapper_tpu.maps import feature_map as fm
 from cooper_mapper_tpu.models.pipeline import SlamPipeline
 
+pytestmark = pytest.mark.slow  # multi-minute end-to-end; see pytest.ini
+
 
 def _cfg(map_dir, dynamic=True):
     return PipelineConfig(

@@ -186,6 +186,7 @@ class TestOnlineErrorMatching:
         assert stats.n == 3
 
 
+@pytest.mark.slow
 class TestFigureEightRun:
     """Continuously-rotating trajectory (sim.figure_eight_trajectory): yaw
     sweeps through all headings and the path crosses itself — the shape the

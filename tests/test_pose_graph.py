@@ -2,6 +2,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cooper_mapper_tpu.config import (
     KeyframeConfig, LoopConfig, PoseGraphConfig, RegistrationConfig, ScanMatchConfig,
@@ -95,6 +96,7 @@ class TestKeyframeUpdater:
         assert u.update(p3)          # angle > 0.05 rad
 
 
+@pytest.mark.slow
 class TestGraphSlamLoop:
     def test_loop_closure_end_to_end(self):
         """Walk a square loop in the sim world; drift injected into 'odometry';

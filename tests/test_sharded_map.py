@@ -187,6 +187,7 @@ class TestShardedMappingStep:
             assert abs(len(pa) - len(pb)) <= 2, (name, len(pa), len(pb))
 
 
+@pytest.mark.slow
 class TestShardedPipeline:
     def test_full_pipeline_on_sharded_map(self, mesh):
         """SlamPipeline(map_mesh=...) drives the whole SLAM stack against
@@ -251,3 +252,32 @@ class TestShardedPipeline:
             b = getattr(pipe_1.map_state, name)
             na, nb_ = int(jnp.sum(a.mask)), int(jnp.sum(b.mask))
             assert abs(na - nb_) <= 0.01 * max(na, nb_) + 2, (name, na, nb_)
+
+
+class TestMeshOneBypass:
+    """At mesh size 1 every sharded op must take the single-device fast path
+    (no shard_map machinery — the round-4 mesh-1 tax) and stay bit-identical
+    to the plain FeatureMap ops."""
+
+    def test_ops_match_single_device(self):
+        mesh1 = mesh_lib.make_mesh(1)
+        rng = np.random.RandomState(5)
+        c, s = _clouds(rng)
+        single = fm.add_feature_cloud(fm.create(CFG), c, s, CFG)
+        sharded = smap.add_feature_cloud(smap.create_sharded(CFG, mesh1),
+                                         c, s, CFG, mesh1)
+        _assert_states_equal(single, sharded, mesh1)
+
+        pos = np.array([12.0, 0.0, -8.0], np.float32)
+        single = fm.recenter(single, jnp.asarray(pos), CFG)
+        sharded = smap.recenter(sharded, pos, CFG, mesh1)
+        _assert_states_equal(single, sharded, mesh1)
+
+        sc, ss = fm.get_surround(single, jnp.asarray(pos), CFG)
+        hc, hs = smap.get_surround(sharded, pos, CFG, mesh1)
+        assert _point_set(sc) == _point_set(hc)
+        assert _point_set(ss) == _point_set(hs)
+
+        single = fm.dedup_active(single, jnp.asarray(pos), CFG)
+        sharded = smap.dedup_active(sharded, pos, CFG, mesh1)
+        _assert_states_equal(single, sharded, mesh1)
