@@ -239,3 +239,48 @@ class TestPipelineStats:
         assert st["match_count"] + st["fail_match_count"] == st["mapping_solves"]
         if st["match_count"]:
             assert st["average_score"] > 0.0
+
+
+class TestFusedSteps:
+    """Single-dispatch fused sweep steps (models/fused.py): registration +
+    odometry [+ mapping] in one jitted program with donated state tracks the
+    same drive the staged pipeline does."""
+
+    def test_fused_tracks_straight_drive(self):
+        from cooper_mapper_tpu.models import fused
+
+        cfg = PipelineConfig(
+            registration=RegistrationConfig(
+                n_rings=16, max_points_per_ring=512),
+            scan_match=ScanMatchConfig(score_threshold=50.0),
+            feature_map=MapConfig(
+                n_cubes=(7, 3, 7), cube_size=20.0,
+                corner_cube_capacity=1024, surf_cube_capacity=2048,
+                surround_corner_capacity=8192,
+                surround_surf_capacity=16384, valid_distance=60.0),
+            matcher=MatcherConfig(max_frame_corner=2048,
+                                  max_frame_surf=4096),
+        )
+        world = sim.make_room_world(size=(30.0, 4.0, 40.0), n_pillars=8,
+                                    seed=31)
+        p = np.eye(4, dtype=np.float32)
+        p[1, 3] = 1.5
+        step = np.eye(4, dtype=np.float32)
+        step[2, 3] = 0.35
+        st = fused.create(cfg)
+        W = None
+        for i in range(6):
+            p2 = p @ step
+            sw = sim.scan_sweep(world, jnp.asarray(p), jnp.asarray(p2),
+                                n_rings=16, width=512)
+            p = p2
+            if i == 0:
+                st = fused.init_sweep(st, sw, cfg)
+            elif i % 2 == 0:
+                st, W, ok = fused.mapping_sweep(st, sw, cfg)
+            else:
+                st, W, nm = fused.odometry_sweep(st, sw, cfg)
+        pos = np.asarray(W)[:3, 3]
+        gt = np.array([0.0, 0.0, 0.35 * 5])
+        assert np.linalg.norm(pos - gt) < 0.3, (pos, gt)
+        assert int(jnp.sum(st.map.surf.count)) > 0
