@@ -92,6 +92,95 @@ def _knn_kernel(q_ref, qn_ref, r_ref, rn_ref, o_min, o_idx,
     o_idx[:, :] = bidx
 
 
+def _knn_kernel_v2(q_ref, qn_ref, r_ref, rn_ref, o_min, o_idx,
+                   *, k: int, tile_m: int, total_m: int):
+    """Lexicographic-threshold extraction: same selection semantics as
+    _knn_kernel, ~30% fewer VPU passes per tile.
+
+    The baseline kernel extracts each of the k winners by masking it OUT of
+    the distance tile (a full [TQ, TM] select + store per round).  Here the
+    r-th smallest is found with a running lexicographic (d, col) threshold —
+    (d, col) pairs are globally unique, so "strictly greater than the last
+    extracted pair" selects exactly the next winner — turning each round
+    into two fused select-reductions over the tile with NO tile-sized
+    stores.  The per-tile sorted k-list then merges with the running top-k
+    on [TQ, 2k] arrays (negligible next to the tile work).
+    """
+    q = q_ref[:, :]
+    qn = qn_ref[:, :]
+    tq = q.shape[0]
+    n_tiles = total_m // tile_m
+
+    def tile_body(t, carry):
+        best, bidx = carry                # [TQ, k] sorted asc (lex)
+        off = t * tile_m
+        r = r_ref[pl.ds(off, tile_m), :]
+        rn = rn_ref[:, pl.ds(off, tile_m)]
+        d = (
+            qn
+            - 2.0 * jax.lax.dot_general(
+                q, r, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + rn
+        )
+        cols = off + jax.lax.broadcasted_iota(jnp.int32, (tq, tile_m), 1)
+
+        # per-tile top-k via running lex threshold (no tile stores)
+        prev_m = jnp.full((tq, 1), -jnp.inf, jnp.float32)
+        prev_i = jnp.full((tq, 1), -1, jnp.int32)
+        tile_ms = []
+        tile_is = []
+        for _ in range(k):
+            elig = (d > prev_m) | ((d == prev_m) & (cols > prev_i))
+            dm = jnp.where(elig, d, BIG)
+            m = jnp.min(dm, axis=-1, keepdims=True)
+            i = jnp.min(jnp.where(dm == m, cols, BIG_I), axis=-1,
+                        keepdims=True)
+            tile_ms.append(m)
+            tile_is.append(i)
+            prev_m, prev_i = m, i
+        cand_m = jnp.concatenate(tile_ms + [best], axis=-1)   # [TQ, 2k]
+        cand_i = jnp.concatenate(tile_is + [bidx], axis=-1)
+
+        # merge: k rounds of lex-min extraction on the [TQ, 2k] candidates
+        prev_m = jnp.full((tq, 1), -jnp.inf, jnp.float32)
+        prev_i = jnp.full((tq, 1), -1, jnp.int32)
+        out_m = []
+        out_i = []
+        for _ in range(k):
+            elig = (cand_m > prev_m) | ((cand_m == prev_m) & (cand_i > prev_i))
+            dm = jnp.where(elig, cand_m, BIG)
+            m = jnp.min(dm, axis=-1, keepdims=True)
+            i = jnp.min(jnp.where(dm == m, cand_i, BIG_I), axis=-1,
+                        keepdims=True)
+            out_m.append(m)
+            out_i.append(i)
+            prev_m, prev_i = m, i
+        return (
+            jnp.concatenate(out_m, axis=-1),
+            jnp.concatenate(out_i, axis=-1),
+        )
+
+    init = (
+        jnp.full((tq, k), BIG, jnp.float32),
+        # BIG sentinel entries must carry DISTINCT ascending indices so the
+        # lex threshold can walk through them when fewer than k real
+        # candidates exist; BIG_I - k + j keeps them past any real column
+        jnp.broadcast_to(
+            BIG_I - k + jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1),
+            (tq, k),
+        ),
+    )
+    best, bidx = jax.lax.fori_loop(0, n_tiles, tile_body, init)
+    o_min[:, :] = best
+    # restore the baseline's index convention for never-filled slots (0)
+    o_idx[:, :] = jnp.where(bidx >= BIG_I - k, 0, bidx)
+
+
+from jax.experimental import pallas as pl  # noqa: E402  (kernel helpers)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "tile_q", "tile_m", "interpret")
 )
@@ -113,7 +202,13 @@ def knn_pallas(q_xyz, r_xyz, r_mask, k: int = 5, tile_q: int = 256,
     rn = jnp.sum(r_xyz * r_xyz, axis=-1)                           # [M]
     rn = jnp.where(r_mask, rn, BIG)[None, :]                       # [1, M]
 
-    kernel = functools.partial(_knn_kernel, k=k, tile_m=tile_m, total_m=M)
+    import os
+
+    # v2 (lex-threshold extraction, no tile-sized stores) is the default;
+    # COOPER_KNN_KERNEL=v1 restores the mask-and-rewrite baseline for A/Bs
+    body = (_knn_kernel if os.environ.get("COOPER_KNN_KERNEL", "v2") == "v1"
+            else _knn_kernel_v2)
+    kernel = functools.partial(body, k=k, tile_m=tile_m, total_m=M)
     vm = pltpu.VMEM
     grid = (Q // tile_q,)
     out = pl.pallas_call(

@@ -107,3 +107,27 @@ class TestDispatchPadding:
         mask = jnp.zeros(300, bool)
         _, d_p = neighbors.knn_search(q, r, mask, 5, backend="pallas")
         assert float(np.asarray(d_p).min()) >= 1e11
+
+
+def test_v2_kernel_matches_v1_bitwise(monkeypatch):
+    """The lex-threshold extraction kernel (default) selects bit-identically
+    to the mask-and-rewrite baseline, including exact-tie duplicates and
+    nearly-empty references."""
+    from cooper_mapper_tpu.ops.pallas import knn_stream as ks
+
+    rng = np.random.RandomState(3)
+    for Q, M, nvalid in [(128, 512, 512), (128, 512, 60), (128, 256, 3)]:
+        q = jnp.asarray(rng.randn(Q, 3), jnp.float32) * 5
+        r = jnp.asarray(rng.randn(M, 3), jnp.float32) * 5
+        r = r.at[5].set(r[17]).at[6].set(r[17])      # exact ties
+        mask = jnp.arange(M) < nvalid
+        monkeypatch.setenv("COOPER_KNN_KERNEL", "v1")
+        i1, d1 = ks.knn_pallas(q, r, mask, k=5, tile_q=128, tile_m=256,
+                               interpret=True)
+        ks.knn_pallas.clear_cache()
+        monkeypatch.setenv("COOPER_KNN_KERNEL", "v2")
+        i2, d2 = ks.knn_pallas(q, r, mask, k=5, tile_q=128, tile_m=256,
+                               interpret=True)
+        ks.knn_pallas.clear_cache()
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
