@@ -133,26 +133,38 @@ def load_or_build(batch, n_worlds):
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     n_worlds = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    # solve in bounded sub-batches: the b512 crash was batch-scaling related
-    # (VERDICT r2 #8) — a chunked dispatch bounds peak HBM and lets any
-    # batch size run; throughput is measured over the whole batch
+    # HETERO_MODE=bucketed (default): capacity-bucketed compiled dispatch
+    # (parallel/batch.bucketed_odometry_solve) — each problem solves at its
+    # own bucket capacity.  HETERO_MODE=chunk restores the round-4 host
+    # chunk loop (everything padded to the batch max) for A/Bs.
+    mode = os.environ.get("HETERO_MODE", "bucketed")
     chunk = min(batch, int(os.environ.get("HETERO_CHUNK", "256")))
+    granule = int(os.environ.get("HETERO_GRANULE", "512"))
     cfg = OdometryConfig()
 
     (sharp, flat, ref_c, ref_s), raw_caps, gen_s = load_or_build(batch, n_worlds)
 
     rng = np.random.RandomState(0)
-    solve = jax.jit(
-        lambda a, b, c, d, x: odo_ops.batch_odometry_solve(a, b, c, d, x, cfg)[0]
-    )
+    if mode == "bucketed":
+        from cooper_mapper_tpu.parallel import batch as pbatch
 
-    def solve_all(x0):
-        outs = []
-        for s0 in range(0, batch, chunk):
-            sl = lambda c: jax.tree.map(lambda a: a[s0:s0 + chunk], c)
-            outs.append(solve(sl(sharp), sl(flat), sl(ref_c), sl(ref_s),
-                              x0[s0:s0 + chunk]))
-        return outs
+        def solve_all(x0):
+            x, _ = pbatch.bucketed_odometry_solve(
+                sharp, flat, ref_c, ref_s, x0, cfg,
+                granule=granule, chunk=chunk)
+            return x
+    else:
+        solve = jax.jit(
+            lambda a, b, c, d, x: odo_ops.batch_odometry_solve(a, b, c, d, x, cfg)[0]
+        )
+
+        def solve_all(x0):
+            outs = []
+            for s0 in range(0, batch, chunk):
+                sl = lambda c: jax.tree.map(lambda a: a[s0:s0 + chunk], c)
+                outs.append(solve(sl(sharp), sl(flat), sl(ref_c), sl(ref_s),
+                                  x0[s0:s0 + chunk]))
+            return outs
 
     jax.device_get(solve_all(jnp.asarray(0.02 * rng.randn(batch, 6), jnp.float32)))
 
@@ -168,6 +180,7 @@ def main():
     print({
         "batch": batch,
         "n_worlds": n_worlds,
+        "mode": mode,
         "chunk": chunk,
         "generation_s": round(gen_s, 1),
         "capacities_unsnug": raw_caps,

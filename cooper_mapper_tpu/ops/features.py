@@ -7,18 +7,28 @@ vectorized, fixed-shape kernel over an organized sweep grid
 array ops; its merge-sort + greedy pick becomes a small static top-k loop with
 neighbor-suppression masks.
 
-Behavioral parity notes (deviations are deliberate and documented):
+Behavioral parity notes (arbitrated against the literal transcription in
+tests/ref_oracle.py by tests/test_features.py::TestFeaturesGolden — exact
+set parity on a tie-free scene, quantified Jaccard where order dependence
+bites):
  * curvature  = || sum_{j=1..cr} (p[i+j] + p[i-j]) - 2*cr*p[i] ||^2
    (setRegionBuffersFor, ScanRegistration.cpp:420-460) — exact.
- * occlusion/blind masks (setScanBuffersFor, :462-522) — computed
-   order-independently with priority BLIND > NEAR_BLOCK; the reference's
-   sequential overwrite order can differ on adjacent triggers.
+ * region bounds — the reference's exact integer sp/ep partition
+   (:248-257), including the ep-minus-one tail and degenerate-region skip.
+ * occlusion/blind masks (setScanBuffersFor, :462-522) — same triggers and
+   windows, EDGE_BROKEN on the near/foreground silhouette point (:505-517);
+   computed order-independently with priority BLIND > NEAR_BLOCK, so
+   chained adjacent triggers can differ from the sequential overwrites
+   (occlusion-scene sharp Jaccard 0.93).
  * flat picking (:267-284): greedy lowest-curvature with +/-cr suppression —
-   exact per region, but all regions pick round-robin in parallel, so a pick's
-   suppression does not spill into an *earlier* region's later rounds.
- * sharp picking (:305-354): the reference takes the top-k by curvature with a
-   two-sided PCA classification (pointClassify, :547-666) — reproduced as
-   batched 3x3 eigendecompositions.
+   exact per region, but all regions pick round-robin in parallel, so a
+   pick's suppression does not spill into an *earlier* region's later
+   rounds, and exact curvature ties (flat floors) order differently in f32
+   (occlusion-scene flat Jaccard 0.73, tie-dominated).
+ * sharp picking (:305-354): top-k by curvature with the two-sided PCA
+   classification (pointClassify, :547-666) as batched closed-form 3x3
+   eigendecompositions; the oneside-flat bound is shared with
+   classify-SURFACE_FLAT points in descending curvature order (:318-353).
 """
 
 from __future__ import annotations
