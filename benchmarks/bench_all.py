@@ -87,6 +87,20 @@ STEPS = [
                             "512"], {"COOPER_USE_PALLAS": "1"}, 2400),
     ("hetero_b4096_pallas", [sys.executable, "benchmarks/bench_hetero.py",
                              "4096"], {"COOPER_USE_PALLAS": "1"}, 3000),
+    # round-4 hetero harness (batch-max padding + host chunk loop) kept as
+    # the A/B against the bucketed default
+    ("hetero_b512_chunk", [sys.executable, "benchmarks/bench_hetero.py",
+                           "512"],
+     {"COOPER_USE_PALLAS": "1", "HETERO_MODE": "chunk"}, 2400),
+    # single-stream real-time budget: fused one-dispatch sweep steps vs the
+    # LOAM 100 ms / 1000 ms budgets (BASELINE north star)
+    ("realtime_fused", [sys.executable, "benchmarks/bench_realtime.py"],
+     {"COOPER_USE_PALLAS": "1"}, 2400),
+    # capacity axis: grow a single-chip map until allocation fails (the
+    # measured one-chip ceiling backing the sharded-map per-device numbers)
+    ("map_capacity_tpu", [sys.executable,
+                          "benchmarks/bench_map_capacity.py", "tpu"],
+     {}, 1500),
     # dense/pallas split kept under distinct keys so cross-round comparisons
     # compare like with like (ADVICE r3)
     ("scaling_tpu_point", [sys.executable, "benchmarks/bench_scaling.py",

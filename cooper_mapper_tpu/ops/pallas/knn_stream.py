@@ -204,10 +204,14 @@ def knn_pallas(q_xyz, r_xyz, r_mask, k: int = 5, tile_q: int = 256,
 
     import os
 
-    # v2 (lex-threshold extraction, no tile-sized stores) is the default;
-    # COOPER_KNN_KERNEL=v1 restores the mask-and-rewrite baseline for A/Bs
-    body = (_knn_kernel if os.environ.get("COOPER_KNN_KERNEL", "v2") == "v1"
-            else _knn_kernel_v2)
+    # Default: the mask-and-rewrite baseline.  The v2 lex-threshold
+    # extraction (COOPER_KNN_KERNEL=v2) eliminates the per-round tile-sized
+    # stores but measured 3.6% SLOWER on chip (166.1 vs 172.3 solves/s at
+    # the b64 scan-to-map shape, round-5 A/B): Mosaic fuses the
+    # select+store+reduce pattern better than the doubled select-reduces.
+    # Kept for A/Bs; bit-identical selection (test_knn_stream).
+    body = (_knn_kernel_v2 if os.environ.get("COOPER_KNN_KERNEL", "v1") == "v2"
+            else _knn_kernel)
     kernel = functools.partial(body, k=k, tile_m=tile_m, total_m=M)
     vm = pltpu.VMEM
     grid = (Q // tile_q,)
