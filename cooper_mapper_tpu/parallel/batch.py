@@ -151,19 +151,48 @@ def bucketed_odometry_solve(sharp, flat, ref_c, ref_s, x0,
     for p in range(B):
         order.setdefault(tuple(int(v) for v in sig[p]), []).append(p)
 
+    # Coalesce small signatures upward: a fixed-shape dispatch pads its
+    # member list to the chunk size by repetition, so a 20-member signature
+    # would cost a full chunk of wasted solves.  Any signature below
+    # chunk/4 members merges into the element-wise max with the next
+    # signature (every problem solves correctly at >= its bucket caps);
+    # signatures are visited smallest-cost first so merges cascade upward.
+    csz = min(chunk, B)
+    min_members = max(1, csz // 4)
+    sigs = sorted(order.items(), key=lambda kv: int(np.prod(kv[0])))
+    coalesced: list = []
+    for caps, members in sigs:
+        if coalesced and len(coalesced[-1][1]) < min_members:
+            prev_caps, prev_members = coalesced.pop()
+            caps = tuple(max(a, b) for a, b in zip(prev_caps, caps))
+            members = prev_members + members
+        coalesced.append((caps, members))
+    if len(coalesced) > 1 and len(coalesced[-1][1]) < min_members:
+        caps_a, mem_a = coalesced.pop()
+        caps_b, mem_b = coalesced.pop()
+        coalesced.append(
+            (tuple(max(a, b) for a, b in zip(caps_a, caps_b)), mem_b + mem_a)
+        )
+
     out_members: list = []
     out_x: list = []
     out_st: list = []
-    csz = min(chunk, B)
-    for caps, members in sorted(order.items()):
-        fn = _bucket_odometry_jit(cfg, caps, csz)
-        for s0 in range(0, len(members), csz):
-            sl = members[s0:s0 + csz]
-            idx = np.resize(np.asarray(sl, np.int32), csz)  # pad by repeat
+    small = max(32, csz // 4)
+    for caps, members in coalesced:
+        s0 = 0
+        while s0 < len(members):
+            rem = len(members) - s0
+            # two-size ladder bounds both pad waste (<= chunk/4 on the
+            # tail) and compiled variants (<= 2 per signature)
+            take_n = csz if rem > small else min(small, csz)
+            sl = members[s0:s0 + take_n]
+            idx = np.resize(np.asarray(sl, np.int32), take_n)  # pad by repeat
+            fn = _bucket_odometry_jit(cfg, caps, take_n)
             x, st = fn(sharp, flat, ref_c, ref_s, x0, jnp.asarray(idx))
             out_members.append(sl)
             out_x.append(x[: len(sl)])
             out_st.append(jax.tree.map(lambda a: a[: len(sl)], st))
+            s0 += take_n
     perm = np.argsort(np.concatenate(out_members))
     x_out = jnp.concatenate(out_x)[perm]
     st_out = jax.tree.map(
