@@ -80,8 +80,15 @@ def main():
     )
     sharp = tile(snug(f_cur.sharp))
     flat = tile(snug(f_cur.flat))
-    ref_c = tile(snug(f_prev.less_sharp))
-    ref_s = tile(snug(f_prev.less_flat))
+    ref_c = snug(f_prev.less_sharp)
+    ref_s = snug(f_prev.less_flat)
+    # the bench has always broadcast ONE reference pair across the batch;
+    # BENCH_SHARED_REF=0 materializes the per-problem broadcast (the
+    # round-1..4 dispatch shape) instead of the shared-reference vmap
+    # (in_axes=None — bit-identical, one resident reference block)
+    if os.environ.get("BENCH_SHARED_REF", "1") != "1":
+        ref_c = tile(ref_c)
+        ref_s = tile(ref_s)
     # per-problem perturbed initial guesses so the solves are independent work
     rng = np.random.RandomState(0)
     x0 = jnp.asarray(0.02 * rng.randn(batch, 6), jnp.float32)

@@ -311,6 +311,15 @@ def odometry_solve(
 
 
 def batch_odometry_solve(sharp, flat, last_corner, last_surf, x0, cfg, parity_mode=False):
-    """vmapped odometry solve over a leading batch dim of all inputs."""
+    """vmapped odometry solve over a leading batch dim.
+
+    Reference clouds WITHOUT a batch dim (xyz [M, 3]) are shared across the
+    batch (vmap in_axes=None) — many sweeps tracked against one previous
+    frame (relocalization bursts, the broadcast bench shape): the batched
+    race kernels then keep a single resident reference block instead of
+    re-streaming it per problem.  Bit-identical to broadcasting.
+    """
+    shared_ref = last_corner.xyz.ndim == 2
     fn = lambda a, b, c, d, x: odometry_solve(a, b, c, d, x, cfg, parity_mode)
-    return jax.vmap(fn)(sharp, flat, last_corner, last_surf, x0)
+    in_axes = (0, 0, None, None, 0) if shared_ref else (0, 0, 0, 0, 0)
+    return jax.vmap(fn, in_axes=in_axes)(sharp, flat, last_corner, last_surf, x0)

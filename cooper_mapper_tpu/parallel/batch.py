@@ -101,20 +101,32 @@ def _bucket_cap(n: int, granule: int) -> int:
 
 
 @lru_cache(maxsize=None)
-def _bucket_odometry_jit(cfg: OdometryConfig, caps: tuple, chunk: int):
+def _bucket_odometry_jit(cfg: OdometryConfig, caps: tuple, chunk: int,
+                         front_packed: bool):
     """One compiled variant per (bucket signature, chunk): gather the
-    member problems' rows, compact each cloud to its bucket capacity, solve
-    — a single device dispatch."""
+    member problems' rows, truncate each cloud to its bucket capacity,
+    solve — a single device dispatch.
+
+    ``front_packed``: every cloud's valid points sit at the front (checked
+    once per call on device) — truncation is a static slice.  Otherwise a
+    vmapped compact (argsort) front-packs first; sorting is expensive on
+    TPU, so pipelines should hand in front-packed clouds (the extractor and
+    cloud_lib.compact both produce them).
+    """
     from ..utils import cloud as cloud_lib
 
     cs, cf, crc, crs = caps
 
+    def trunc(t, cap):
+        if front_packed:
+            return jax.tree.map(lambda a: a[:, :cap], t)
+        return jax.vmap(lambda c: cloud_lib.compact(c, cap))(t)
+
     def run(sharp, flat, ref_c, ref_s, x0, idx):
         take = lambda t: jax.tree.map(lambda a: jnp.take(a, idx, axis=0), t)
-        comp = lambda t, cap: jax.vmap(lambda c: cloud_lib.compact(c, cap))(t)
         return odo_ops.batch_odometry_solve(
-            comp(take(sharp), cs), comp(take(flat), cf),
-            comp(take(ref_c), crc), comp(take(ref_s), crs),
+            trunc(take(sharp), cs), trunc(take(flat), cf),
+            trunc(take(ref_c), crc), trunc(take(ref_s), crs),
             x0[idx], cfg,
         )
 
@@ -137,9 +149,16 @@ def bucketed_odometry_solve(sharp, flat, ref_c, ref_s, x0,
     import numpy as np
 
     B = x0.shape[0]
-    counts = jax.device_get(
-        [sharp.count(), flat.count(), ref_c.count(), ref_s.count()]
-    )
+
+    def fp(c):
+        n = c.count()
+        ar = jnp.arange(c.capacity)
+        return jnp.all(c.mask == (ar[None, :] < n[:, None]))
+
+    clouds = (sharp, flat, ref_c, ref_s)
+    got = jax.device_get([c.count() for c in clouds] + [fp(c) for c in clouds])
+    counts, packed = got[:4], got[4:]
+    front_packed = all(bool(p) for p in packed)
     counts = np.stack(counts, axis=1)                       # [B, 4]
     caps_full = (sharp.capacity, flat.capacity, ref_c.capacity,
                  ref_s.capacity)
@@ -177,17 +196,23 @@ def bucketed_odometry_solve(sharp, flat, ref_c, ref_s, x0,
     out_members: list = []
     out_x: list = []
     out_st: list = []
-    small = max(32, csz // 4)
     for caps, members in coalesced:
         s0 = 0
         while s0 < len(members):
             rem = len(members) - s0
-            # two-size ladder bounds both pad waste (<= chunk/4 on the
-            # tail) and compiled variants (<= 2 per signature)
-            take_n = csz if rem > small else min(small, csz)
+            # power-of-two chunk ladder (32..chunk): tail pad waste < 2x on
+            # the final sub-chunk only, <= log2(chunk/32)+1 compiled
+            # variants per signature
+            if rem >= csz:
+                take_n = csz
+            else:
+                take_n = 32
+                while take_n < rem:
+                    take_n *= 2
+                take_n = min(take_n, csz)
             sl = members[s0:s0 + take_n]
             idx = np.resize(np.asarray(sl, np.int32), take_n)  # pad by repeat
-            fn = _bucket_odometry_jit(cfg, caps, take_n)
+            fn = _bucket_odometry_jit(cfg, caps, take_n, front_packed)
             x, st = fn(sharp, flat, ref_c, ref_s, x0, jnp.asarray(idx))
             out_members.append(sl)
             out_x.append(x[: len(sl)])

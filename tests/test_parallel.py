@@ -124,6 +124,15 @@ class TestBucketedOdometry:
         np.testing.assert_array_equal(np.asarray(stb.n_matched),
                                       np.asarray(stf.n_matched))
 
+        # scatter the reference masks (NOT front-packed): the dispatch must
+        # fall back to the vmapped compact and still match
+        rng2 = np.random.RandomState(7)
+        perm = rng2.permutation(ref_s.capacity)
+        ref_s_scat = jax.tree.map(lambda a: a[:, perm], ref_s)
+        xb2, _ = pbatch.bucketed_odometry_solve(
+            sharp, flat, ref_c, ref_s_scat, x0, cfg, granule=128, chunk=4)
+        np.testing.assert_allclose(np.asarray(xb2), np.asarray(xf), atol=2e-4)
+
     def test_bucket_signatures_and_order(self):
         """Distinct sizes land in distinct buckets; results come back in
         input order even when buckets reorder execution."""
@@ -137,11 +146,37 @@ class TestBucketedOdometry:
                          jnp.float32)
         xb, _ = pbatch.bucketed_odometry_solve(
             sharp, flat, ref_c, ref_s, x0, cfg, granule=128, chunk=4)
-        # problems 0 and 1 are identical clouds with identical x0? no — x0
-        # differs; instead check per-problem against the single solve
+        # spot-check first/last against the unbatched single solve
         for p in [0, B - 1]:
             take = lambda t: jax.tree.map(lambda a: a[p], t)
             xs, _ = oo.odometry_solve(
                 take(sharp), take(flat), take(ref_c), take(ref_s), x0[p], cfg)
             np.testing.assert_allclose(np.asarray(xb[p]), np.asarray(xs),
                                        atol=2e-4)
+
+
+def test_shared_ref_odometry_matches_broadcast():
+    """batch_odometry_solve with unbatched (shared) reference clouds is
+    bit-identical to broadcasting them across the batch."""
+    from cooper_mapper_tpu.utils import cloud as cloud_lib
+
+    rng = np.random.RandomState(0)
+
+    def mk(n):
+        return cloud_lib.make(
+            jnp.asarray(rng.randn(n, 3), jnp.float32) * 4,
+            jnp.ones(n, bool),
+            jnp.asarray(rng.randint(0, 16, n), jnp.int32),
+            jnp.asarray(rng.rand(n), jnp.float32))
+
+    sharp, flat, rc, rs = mk(64), mk(256), mk(256), mk(1024)
+    B = 3
+    tile = lambda c: jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), c)
+    x0 = jnp.asarray(0.02 * rng.randn(B, 6), jnp.float32)
+    cfg = OdometryConfig(max_iterations=6)
+    xs_shared, _ = oo.batch_odometry_solve(tile(sharp), tile(flat), rc, rs,
+                                           x0, cfg)
+    xs_bcast, _ = oo.batch_odometry_solve(tile(sharp), tile(flat), tile(rc),
+                                          tile(rs), x0, cfg)
+    np.testing.assert_array_equal(np.asarray(xs_shared), np.asarray(xs_bcast))
