@@ -133,22 +133,27 @@ def _bucket_odometry_jit(cfg: OdometryConfig, caps: tuple, chunk: int,
     return jax.jit(run)
 
 
-def bucketed_odometry_solve(sharp, flat, ref_c, ref_s, x0,
-                            cfg: OdometryConfig, granule: int = 512,
-                            chunk: int = 256):
-    """Heterogeneous batched scan-to-scan solves via capacity buckets.
+def bucket_plan(sharp, flat, ref_c, ref_s, granule: int = 512,
+                chunk: int = 256):
+    """Host-side dispatch plan for bucketed_odometry_solve: ONE device sync
+    (valid counts + front-packedness), then pure bookkeeping.
 
-    Inputs are batched Clouds at any (possibly generous) capacities; the
-    per-problem valid counts decide each problem's bucket signature
-    (per-cloud bucket caps).  Each signature dispatches in fixed-size
-    compiled chunks (the last chunk padded by repeating member rows, pad
-    results dropped).  Returns (x [B, 6], states) in input order —
-    numerically identical to solving each problem alone at its bucket
-    capacity.
+    The plan depends only on the clouds' valid counts, so it is reusable
+    across solves of the same problem set (fresh x0s, repeated refinement)
+    — pass it back via ``plan=`` to keep the steady-state dispatch
+    sync-free.
+
+    Small signatures coalesce upward: a fixed-shape dispatch pads its
+    member list by repetition, so a 20-member signature would cost a full
+    chunk of wasted solves.  Any signature below chunk/4 members merges
+    into the element-wise max with the next signature (every problem
+    solves correctly at >= its bucket caps); signatures are visited
+    smallest-cost first so merges cascade upward.  Tails dispatch at the
+    next multiple of 32 (pad waste < 32 solves per signature).
     """
     import numpy as np
 
-    B = x0.shape[0]
+    B = sharp.mask.shape[0]
 
     def fp(c):
         n = c.count()
@@ -160,8 +165,7 @@ def bucketed_odometry_solve(sharp, flat, ref_c, ref_s, x0,
     counts, packed = got[:4], got[4:]
     front_packed = all(bool(p) for p in packed)
     counts = np.stack(counts, axis=1)                       # [B, 4]
-    caps_full = (sharp.capacity, flat.capacity, ref_c.capacity,
-                 ref_s.capacity)
+    caps_full = tuple(c.capacity for c in clouds)
     sig = np.stack(
         [[min(_bucket_cap(int(n), granule), full)
           for n, full in zip(row, caps_full)] for row in counts]
@@ -170,12 +174,6 @@ def bucketed_odometry_solve(sharp, flat, ref_c, ref_s, x0,
     for p in range(B):
         order.setdefault(tuple(int(v) for v in sig[p]), []).append(p)
 
-    # Coalesce small signatures upward: a fixed-shape dispatch pads its
-    # member list to the chunk size by repetition, so a 20-member signature
-    # would cost a full chunk of wasted solves.  Any signature below
-    # chunk/4 members merges into the element-wise max with the next
-    # signature (every problem solves correctly at >= its bucket caps);
-    # signatures are visited smallest-cost first so merges cascade upward.
     csz = min(chunk, B)
     min_members = max(1, csz // 4)
     sigs = sorted(order.items(), key=lambda kv: int(np.prod(kv[0])))
@@ -193,31 +191,46 @@ def bucketed_odometry_solve(sharp, flat, ref_c, ref_s, x0,
             (tuple(max(a, b) for a, b in zip(caps_a, caps_b)), mem_b + mem_a)
         )
 
-    out_members: list = []
-    out_x: list = []
-    out_st: list = []
+    dispatches: list = []           # (caps, take_n, member_list, padded_idx)
     for caps, members in coalesced:
         s0 = 0
         while s0 < len(members):
             rem = len(members) - s0
-            # power-of-two chunk ladder (32..chunk): tail pad waste < 2x on
-            # the final sub-chunk only, <= log2(chunk/32)+1 compiled
-            # variants per signature
-            if rem >= csz:
-                take_n = csz
-            else:
-                take_n = 32
-                while take_n < rem:
-                    take_n *= 2
-                take_n = min(take_n, csz)
+            take_n = csz if rem >= csz else min(csz, -(-rem // 32) * 32)
             sl = members[s0:s0 + take_n]
             idx = np.resize(np.asarray(sl, np.int32), take_n)  # pad by repeat
-            fn = _bucket_odometry_jit(cfg, caps, take_n, front_packed)
-            x, st = fn(sharp, flat, ref_c, ref_s, x0, jnp.asarray(idx))
-            out_members.append(sl)
-            out_x.append(x[: len(sl)])
-            out_st.append(jax.tree.map(lambda a: a[: len(sl)], st))
+            dispatches.append((caps, take_n, sl, idx))
             s0 += take_n
+    return front_packed, tuple(dispatches)
+
+
+def bucketed_odometry_solve(sharp, flat, ref_c, ref_s, x0,
+                            cfg: OdometryConfig, granule: int = 512,
+                            chunk: int = 256, plan=None):
+    """Heterogeneous batched scan-to-scan solves via capacity buckets.
+
+    Inputs are batched Clouds at any (possibly generous) capacities; the
+    per-problem valid counts decide each problem's bucket signature
+    (per-cloud bucket caps, see bucket_plan).  Each signature dispatches in
+    fixed-size compiled chunks; results scatter back in input order —
+    numerically identical to solving each problem alone at its bucket
+    capacity.  ``plan`` (from bucket_plan) skips the per-call device sync.
+    """
+    import numpy as np
+
+    if plan is None:
+        plan = bucket_plan(sharp, flat, ref_c, ref_s, granule, chunk)
+    front_packed, dispatches = plan
+
+    out_members: list = []
+    out_x: list = []
+    out_st: list = []
+    for caps, take_n, sl, idx in dispatches:
+        fn = _bucket_odometry_jit(cfg, caps, take_n, front_packed)
+        x, st = fn(sharp, flat, ref_c, ref_s, x0, jnp.asarray(idx))
+        out_members.append(sl)
+        out_x.append(x[: len(sl)])
+        out_st.append(jax.tree.map(lambda a: a[: len(sl)], st))
     perm = np.argsort(np.concatenate(out_members))
     x_out = jnp.concatenate(out_x)[perm]
     st_out = jax.tree.map(
