@@ -102,19 +102,27 @@ def run_tpu():
     from cooper_mapper_tpu.maps import feature_map as fm
 
     gib = 1 << 30
+    dev = jax.devices()[0]
+    print({"device_kind": dev.device_kind,
+           "memory_stats": dev.memory_stats() or "n/a"})
     fits, fails = None, None
-    for scale in (4, 8, 12, 16, 20):
+    for scale in (8, 16, 24, 32, 48, 64):
         cfg = big_cfg(scale)
         nc = int(np.prod(cfg.n_cubes))
         want = nc * (cfg.corner_cube_capacity + cfg.surf_cube_capacity) * (
             3 * 4 + 1) + nc * 8
         try:
             st = fm.create(cfg)
-            jax.block_until_ready(st.surf.mask)
+            # touch EVERY array with a device reduction: relay-backed
+            # allocation can be deferred until first use, so block on sums
+            # of the big cube buffers, not just array creation
+            tot = sum(jnp.sum(leaf[..., -1]).astype(jnp.float32)
+                      for leaf in jax.tree.leaves((st.corner, st.surf)))
+            jax.block_until_ready(tot)
             del st
             fits = (scale, want)
             print(f"  scale {scale}: single-chip map of "
-                  f"{want / gib:.1f} GiB allocated OK")
+                  f"{want / gib:.1f} GiB allocated + touched OK")
         except Exception as e:
             fails = (scale, want, type(e).__name__)
             print(f"  scale {scale}: single-chip allocation FAILED "
