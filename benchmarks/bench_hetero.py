@@ -133,11 +133,13 @@ def load_or_build(batch, n_worlds):
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     n_worlds = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    # HETERO_MODE=bucketed (default): capacity-bucketed compiled dispatch
-    # (parallel/batch.bucketed_odometry_solve) — each problem solves at its
-    # own bucket capacity.  HETERO_MODE=chunk restores the round-4 host
-    # chunk loop (everything padded to the batch max) for A/Bs.
-    mode = os.environ.get("HETERO_MODE", "bucketed")
+    # HETERO_MODE=chunk (default): homogeneous chunked dispatch at the
+    # batch-max capacities — measured fastest for THIS batch's tail-heavy
+    # size distribution (1489 vs 1406 solves/s, BENCH.md config 5).
+    # HETERO_MODE=bucketed solves each problem at its own bucket capacity
+    # (parallel/batch.bucketed_odometry_solve) — the right dispatch for
+    # genuinely skewed distributions.
+    mode = os.environ.get("HETERO_MODE", "chunk")
     chunk = min(batch, int(os.environ.get("HETERO_CHUNK", "256")))
     granule = int(os.environ.get("HETERO_GRANULE", "512"))
     cfg = OdometryConfig()

@@ -55,14 +55,14 @@ def state_bytes(tree):
     return per_dev
 
 
-def run_cpu_mesh():
+def run_cpu_mesh(scale=1):
     from cooper_mapper_tpu.maps import feature_map as fm
     from cooper_mapper_tpu.maps import sharded_map as smap
     from cooper_mapper_tpu.parallel import mesh as mesh_lib
     from cooper_mapper_tpu.utils import cloud as cloud_lib
 
     assert len(jax.devices()) >= 8, "need the 8-device virtual mesh"
-    cfg = big_cfg()
+    cfg = big_cfg(scale)
     mesh = mesh_lib.make_mesh(8)
 
     sharded = smap.create_sharded(cfg, mesh)
@@ -88,7 +88,8 @@ def run_cpu_mesh():
     gib = 1 << 30
     print({
         "mode": "cpu-mesh",
-        "config": "21x11x21 cubes, corner 4096 / surf 16384 per cube",
+        "scale": scale,
+        "config": f"21x11x21 cubes, corner {4096*scale} / surf {16384*scale} per cube",
         "single_device_bytes_gib": round(single_bytes / gib, 2),
         "sharded_total_bytes_gib": round(total_sharded / gib, 2),
         "sharded_max_per_device_gib": round(max_dev / gib, 2),
@@ -141,7 +142,8 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else (
         "tpu" if jax.default_backend() == "tpu" else "cpu-mesh")
     if mode == "cpu-mesh":
-        run_cpu_mesh()
+        scale = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+        run_cpu_mesh(scale)
     else:
         run_tpu()
 
