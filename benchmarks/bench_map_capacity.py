@@ -75,15 +75,26 @@ def run_cpu_mesh(scale=1):
     jax.block_until_ready(single.surf.mask)
     single_bytes = sum(state_bytes((single.corner, single.surf)).values())
 
-    # the map works at this scale: insert a frame + one surround gather
+    # the map works at this scale: insert a frame + one surround gather.
+    # The gather only runs at small scales on the VIRTUAL mesh: 8
+    # time-sliced CPU "devices" on 2 cores make a participant late past the
+    # 40 s collective rendezvous termination at city-scale per-device work
+    # (CLAUDE.md) — a simulation artifact, not a design property; insert
+    # and recenter are communication-free at any scale.
     rng = np.random.RandomState(0)
     c = cloud_lib.from_points(
         jnp.asarray(rng.uniform(-100, 100, (2048, 3)), jnp.float32))
     s = cloud_lib.from_points(
         jnp.asarray(rng.uniform(-100, 100, (8192, 3)), jnp.float32))
     sharded = smap.add_feature_cloud(sharded, c, s, cfg, mesh)
-    sc, ss = smap.get_surround(sharded, np.zeros(3, np.float32), cfg, mesh)
-    jax.block_until_ready(ss.mask)
+    if scale <= 2:
+        sc, ss = smap.get_surround(sharded, np.zeros(3, np.float32), cfg,
+                                   mesh)
+        jax.block_until_ready(ss.mask)
+        surround_pts = int(jnp.sum(ss.mask))
+    else:
+        jax.block_until_ready(sharded.surf.count)
+        surround_pts = "skipped (virtual-mesh collective timeout; see note)"
 
     gib = 1 << 30
     print({
@@ -95,7 +106,8 @@ def run_cpu_mesh(scale=1):
         "sharded_max_per_device_gib": round(max_dev / gib, 2),
         "devices": len(per_dev),
         "per_device_reduction": round(single_bytes / max_dev, 2),
-        "surround_gather_pts": int(jnp.sum(ss.mask)),
+        "inserted_surf_pts": int(jnp.sum(sharded.surf.count)),
+        "surround_gather_pts": surround_pts,
     })
 
 
