@@ -153,3 +153,56 @@ class TestTwistWarps:
         np.testing.assert_allclose(
             twist.map_to_point(x, twist.point_to_map(x, p)), p, atol=1e-5
         )
+
+
+class TestFrameTree:
+    """utils/frames: the messege_to_tf pose decomposition
+    (driver/src/messege_to_tf.cpp:100-175)."""
+
+    def _pose(self, yaw=0.7, roll=0.1, pitch=-0.15, pos=(2.0, 1.5, -3.0)):
+        from cooper_mapper_tpu.utils import frames
+
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        cr, sr = np.cos(roll), np.sin(roll)
+        Rr = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        Rp = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = (Ry @ Rr @ Rp).astype(np.float32)
+        T[:3, 3] = pos
+        return T, frames
+
+    def test_decomposition(self):
+        T, frames = self._pose()
+        tree = frames.frame_tree(T)
+        # base_link is the full pose
+        np.testing.assert_array_equal(tree["base_link"], T)
+        # stabilized: same position, yaw only (up stays up)
+        st = tree["base_stabilized"]
+        np.testing.assert_allclose(st[:3, 3], T[:3, 3])
+        np.testing.assert_allclose(st[:3, :3] @ [0, 1, 0], [0, 1, 0],
+                                   atol=1e-6)
+        assert abs(frames.yaw_of(st) - frames.yaw_of(T)) < 1e-5
+        # footprint: ground-projected
+        fp = tree["base_footprint"]
+        assert fp[1, 3] == 0.0
+        np.testing.assert_allclose(fp[[0, 2], 3], T[[0, 2], 3])
+        # laser frame composes the static extrinsic (tf_2D_broadcaster)
+        T_bl = np.eye(4, dtype=np.float32)
+        T_bl[2, 3] = 0.3
+        tree2 = frames.frame_tree(T, T_bl)
+        np.testing.assert_allclose(tree2["laser"], T @ T_bl, atol=1e-6)
+
+    def test_roll_pitch_roundtrip(self):
+        T, frames = self._pose(yaw=1.2, roll=0.08, pitch=-0.12)
+        roll, pitch = frames.roll_pitch_of(T)
+        # removing yaw then the recovered roll/pitch restores identity up
+        # to numeric tolerance
+        assert abs(roll - 0.08) < 0.02 and abs(pitch + 0.12) < 0.02
+
+    def test_yaw_invariant_to_roll_pitch(self):
+        Ta, frames = self._pose(yaw=0.9, roll=0.0, pitch=0.0)
+        Tb, _ = self._pose(yaw=0.9, roll=0.1, pitch=-0.1)
+        assert abs(frames.yaw_of(Ta) - 0.9) < 1e-5
+        assert abs(frames.yaw_of(Tb) - 0.9) < 0.02
