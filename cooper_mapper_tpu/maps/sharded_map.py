@@ -409,6 +409,17 @@ def mapping_step(matcher, map_state: ShardedMapState, corner: Cloud,
     from ..ops import scan_match as sm
     from ..utils import se3, twist
 
+    if mesh.devices.size == 1:
+        # whole-step fast path: the per-op bypasses still pay one relay
+        # dispatch per stage (measured 667 ms/step vs 239 for the
+        # single-jit step on chip); at mesh 1 the entire step IS the
+        # single-device jitted program
+        matcher_new, st, out = lm_mod.mapping_step(
+            matcher, _single_view(map_state), corner, surf, L_now,
+            sm_cfg, matcher_cfg, map_cfg,
+        )
+        return matcher_new, _from_single_view(st), out
+
     T_guess = se3.transform_associate(matcher.L_last, L_now, matcher.W_last)
     corner_ds, surf_ds = lm_mod.prepare_frame(corner, surf, matcher_cfg)
     sensor_pos = T_guess[:3, 3]
