@@ -412,3 +412,51 @@ class TestRosbag:
         assert imu["angular_velocity"].shape == (12, 3)
         gt = np.load(os.path.join(out, "gt.npz"))
         np.testing.assert_allclose(gt["position"][:, 0], [0.0, 1.0, 2.0])
+
+    def test_bag_feeds_pipeline(self, tmp_path):
+        """A synthetic bag of simulated sweeps converts and replays through
+        the organizer + pipeline (the run_offline --bag path, shrunk)."""
+        import jax.numpy as jnp
+
+        from cooper_mapper_tpu import config as cfg_mod
+        from cooper_mapper_tpu.io import rosbag, sim
+        from cooper_mapper_tpu.models import scan_registration
+        from cooper_mapper_tpu.models.pipeline import SlamPipeline
+
+        world = sim.make_room_world(size=(20.0, 4.0, 24.0), n_pillars=4,
+                                    seed=13)
+        p = np.eye(4, dtype=np.float32)
+        p[1, 3] = 1.5
+        step = np.eye(4, dtype=np.float32)
+        step[2, 3] = 0.35
+        msgs = []
+        for i in range(3):
+            p2 = p @ step
+            sw = sim.scan_sweep(world, jnp.asarray(p), jnp.asarray(p2),
+                                n_rings=16, width=256)
+            xyz = np.asarray(sw.xyz)[np.asarray(sw.mask)][:, [2, 0, 1]]
+            msgs.append(("/multi_scan_points", "sensor_msgs/PointCloud2",
+                         10.0 + 0.1 * i,
+                         rosbag.encode_pointcloud2(xyz, 10.0 + 0.1 * i)))
+            p = p2
+        bag = str(tmp_path / "drive.bag")
+        rosbag.write_bag(bag, msgs)
+        out = str(tmp_path / "npz")
+        info = rosbag.bag_to_npz(bag, out)
+        assert info["n_sweeps"] == 3
+
+        cfg = cfg_mod.vlp16()
+        cfg = cfg_mod.dataclasses.replace(
+            cfg,
+            registration=cfg_mod.dataclasses.replace(
+                cfg.registration, max_points_per_ring=256),
+            mapping_stride=2,
+        )
+        pipe = SlamPipeline(cfg, mode="mapping")
+        for i in range(3):
+            z = np.load(os.path.join(out, f"sweep_{i:06d}.npz"))
+            sweep = scan_registration.organize_unordered(
+                z["xyz"], cfg.registration, scan_registration.VLP16)
+            r = pipe.process(sweep, stamp=0.1 * (i + 1))
+        assert np.all(np.isfinite(r.merged_pose))
+        assert abs(r.merged_pose[2, 3] - 0.70) < 0.3  # tracked ~2 steps fwd
