@@ -61,7 +61,9 @@ def run(sweep_dir: str, out_dir: str, sensor: str = "vlp16",
 
     files = sorted(
         glob.glob(os.path.join(sweep_dir, "*.pcd"))
-        + glob.glob(os.path.join(sweep_dir, "*.npz"))
+        + [f for f in glob.glob(os.path.join(sweep_dir, "*.npz"))
+           # sidecar archives from the bag converter are not sweeps
+           if os.path.basename(f) not in ("imu.npz", "gt.npz")]
     )
     if not files:
         raise SystemExit(f"no .pcd/.npz sweeps under {sweep_dir}")
@@ -88,6 +90,21 @@ def run(sweep_dir: str, out_dir: str, sensor: str = "vlp16",
     map_io.save_trajectory_pcd(os.path.join(out_dir, "trajectory.pcd"), traj)
     print(f"{len(files)} sweeps in {wall:.1f} s "
           f"({len(files)/wall:.2f} sweeps/s); stats: {pipe.stats()}")
+    # Evaluation-node equivalent (map_evaluation/Evaluation.cpp:39-147):
+    # when the recording carried GNSS/odometry ground truth (gt.npz from
+    # the bag converter), report the online position error of the
+    # trajectory against nearest-time GT poses, >10 m samples dropped
+    gt_path = os.path.join(sweep_dir, "gt.npz")
+    if os.path.exists(gt_path):
+        from cooper_mapper_tpu.io import evaluation
+
+        gt = np.load(gt_path)
+        stamps = np.asarray([0.1 * (i + 1) for i in range(len(files))])
+        rel = gt["stamp"] - gt["stamp"][0] + stamps[0]
+        stats = evaluation.online_error(
+            traj[:, :3, 3], gt["position"], est_stamp=stamps, gt_stamp=rel)
+        print(f"online error vs ground truth: mean {stats.mean:.3f} m, "
+              f"max {stats.maximum:.3f} m over {stats.n} matched samples")
     pipe.timer.report()
     return pipe
 
