@@ -102,7 +102,7 @@ def _bucket_cap(n: int, granule: int) -> int:
 
 @lru_cache(maxsize=None)
 def _bucket_odometry_jit(cfg: OdometryConfig, caps: tuple, chunk: int,
-                         front_packed: bool):
+                         front_packed: bool, contiguous: bool):
     """One compiled variant per (bucket signature, chunk): gather the
     member problems' rows, truncate each cloud to its bucket capacity,
     solve — a single device dispatch.
@@ -112,6 +112,10 @@ def _bucket_odometry_jit(cfg: OdometryConfig, caps: tuple, chunk: int,
     vmapped compact (argsort) front-packs first; sorting is expensive on
     TPU, so pipelines should hand in front-packed clouds (the extractor and
     cloud_lib.compact both produce them).
+
+    ``contiguous``: the member run is a consecutive index range — row
+    selection is a dynamic_slice (no gather copy; the homogeneous-fallback
+    plan's chunks are always contiguous).
     """
     from ..utils import cloud as cloud_lib
 
@@ -123,11 +127,19 @@ def _bucket_odometry_jit(cfg: OdometryConfig, caps: tuple, chunk: int,
         return jax.vmap(lambda c: cloud_lib.compact(c, cap))(t)
 
     def run(sharp, flat, ref_c, ref_s, x0, idx):
-        take = lambda t: jax.tree.map(lambda a: jnp.take(a, idx, axis=0), t)
+        if contiguous:
+            take = lambda t: jax.tree.map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, idx[0], chunk, 0),
+                t)
+            x0c = jax.lax.dynamic_slice_in_dim(x0, idx[0], chunk, 0)
+        else:
+            take = lambda t: jax.tree.map(
+                lambda a: jnp.take(a, idx, axis=0), t)
+            x0c = x0[idx]
         return odo_ops.batch_odometry_solve(
             trunc(take(sharp), cs), trunc(take(flat), cf),
             trunc(take(ref_c), crc), trunc(take(ref_s), crs),
-            x0[idx], cfg,
+            x0c, cfg,
         )
 
     return jax.jit(run)
@@ -149,7 +161,10 @@ def bucket_plan(sharp, flat, ref_c, ref_s, granule: int = 512,
     into the element-wise max with the next signature (every problem
     solves correctly at >= its bucket caps); signatures are visited
     smallest-cost first so merges cascade upward.  Tails dispatch at the
-    next multiple of 32 (pad waste < 32 solves per signature).
+    next multiple of 32 (pad waste < 32 solves per signature).  When the
+    bucketed plan's padded work proxy is not at least 10% below a single
+    homogeneous plan at the element-wise max caps, the homogeneous plan is
+    emitted instead — bucketing never does worse than chunked dispatch.
     """
     import numpy as np
 
@@ -191,16 +206,33 @@ def bucket_plan(sharp, flat, ref_c, ref_s, granule: int = 512,
             (tuple(max(a, b) for a, b in zip(caps_a, caps_b)), mem_b + mem_a)
         )
 
-    dispatches: list = []           # (caps, take_n, member_list, padded_idx)
-    for caps, members in coalesced:
-        s0 = 0
-        while s0 < len(members):
-            rem = len(members) - s0
-            take_n = csz if rem >= csz else min(csz, -(-rem // 32) * 32)
-            sl = members[s0:s0 + take_n]
-            idx = np.resize(np.asarray(sl, np.int32), take_n)  # pad by repeat
-            dispatches.append((caps, take_n, sl, idx))
-            s0 += take_n
+    def chunked(groups):
+        out = []
+        for caps, members in groups:
+            s0 = 0
+            while s0 < len(members):
+                rem = len(members) - s0
+                take_n = csz if rem >= csz else min(csz, -(-rem // 32) * 32)
+                sl = members[s0:s0 + take_n]
+                idx = np.resize(np.asarray(sl, np.int32), take_n)  # repeat-pad
+                out.append((caps, take_n, sl, idx))
+                s0 += take_n
+        return out
+
+    # Self-tuning fallback: when the size distribution is tail-heavy (most
+    # problems in the top bucket), per-signature dispatch padding eats the
+    # bucket savings — a single homogeneous plan at the element-wise max
+    # caps is cheaper.  Compare a correspondence-race work proxy
+    # (query_cap x ref_cap, padded dispatch sizes included) and emit
+    # whichever plan costs less, so callers never do worse than the plain
+    # chunked dispatch.
+    cost = lambda caps: caps[0] * caps[2] + caps[1] * caps[3]
+    bucketed = chunked(coalesced)
+    flat_caps = tuple(int(np.max(sig[:, i])) for i in range(sig.shape[1]))
+    flat = chunked([(flat_caps, list(range(B)))])
+    work_b = sum(n * cost(caps) for caps, n, _, _ in bucketed)
+    work_f = sum(n * cost(caps) for caps, n, _, _ in flat)
+    dispatches = bucketed if work_b < 0.9 * work_f else flat
     return front_packed, tuple(dispatches)
 
 
@@ -226,7 +258,13 @@ def bucketed_odometry_solve(sharp, flat, ref_c, ref_s, x0,
     out_x: list = []
     out_st: list = []
     for caps, take_n, sl, idx in dispatches:
-        fn = _bucket_odometry_jit(cfg, caps, take_n, front_packed)
+        contiguous = (
+            len(sl) == take_n
+            and sl[-1] - sl[0] == take_n - 1
+            and all(b - a == 1 for a, b in zip(sl, sl[1:]))
+        )
+        fn = _bucket_odometry_jit(cfg, caps, take_n, front_packed,
+                                  contiguous)
         x, st = fn(sharp, flat, ref_c, ref_s, x0, jnp.asarray(idx))
         out_members.append(sl)
         out_x.append(x[: len(sl)])
