@@ -87,11 +87,11 @@ STEPS = [
                             "512"], {"COOPER_USE_PALLAS": "1"}, 2400),
     ("hetero_b4096_pallas", [sys.executable, "benchmarks/bench_hetero.py",
                              "4096"], {"COOPER_USE_PALLAS": "1"}, 3000),
-    # per-problem capacity-bucketed dispatch as the A/B against the
-    # chunk-loop default (BENCH.md config 5: work-normalization analysis)
-    ("hetero_b512_bucketed", [sys.executable, "benchmarks/bench_hetero.py",
-                              "512"],
-     {"COOPER_USE_PALLAS": "1", "HETERO_MODE": "bucketed"}, 2400),
+    # plain host chunk loop as the A/B against the self-tuning planner
+    # default (BENCH.md config 5: work-normalization analysis)
+    ("hetero_b512_chunk", [sys.executable, "benchmarks/bench_hetero.py",
+                           "512"],
+     {"COOPER_USE_PALLAS": "1", "HETERO_MODE": "chunk"}, 2400),
     # single-stream real-time budget: fused one-dispatch sweep steps vs the
     # LOAM 100 ms / 1000 ms budgets (BASELINE north star)
     ("realtime_fused", [sys.executable, "benchmarks/bench_realtime.py"],

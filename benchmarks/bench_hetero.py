@@ -133,13 +133,13 @@ def load_or_build(batch, n_worlds):
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     n_worlds = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    # HETERO_MODE=chunk (default): homogeneous chunked dispatch at the
-    # batch-max capacities — measured fastest for THIS batch's tail-heavy
-    # size distribution (1489 vs 1406 solves/s, BENCH.md config 5).
-    # HETERO_MODE=bucketed solves each problem at its own bucket capacity
-    # (parallel/batch.bucketed_odometry_solve) — the right dispatch for
-    # genuinely skewed distributions.
-    mode = os.environ.get("HETERO_MODE", "chunk")
+    # HETERO_MODE=bucketed (default): the self-tuning dispatch planner
+    # (parallel/batch.bucket_plan) — per-problem bucket capacities when the
+    # size distribution pays, an automatic homogeneous fallback with
+    # dynamic-slice row selection when it doesn't (never worse than the
+    # chunk loop by construction; measured 1532 vs 1490 same-session at
+    # b512).  HETERO_MODE=chunk keeps the plain host chunk loop for A/Bs.
+    mode = os.environ.get("HETERO_MODE", "bucketed")
     chunk = min(batch, int(os.environ.get("HETERO_CHUNK", "256")))
     granule = int(os.environ.get("HETERO_GRANULE", "512"))
     cfg = OdometryConfig()
