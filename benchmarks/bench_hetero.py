@@ -157,9 +157,11 @@ def main():
                                   granule=granule, chunk=chunk)
 
         def solve_all(x0):
+            # with_states=False matches the chunk path, which DCEs the
+            # diagnostic states inside its jit ([0] indexing)
             x, _ = pbatch.bucketed_odometry_solve(
                 sharp, flat, ref_c, ref_s, x0, cfg,
-                granule=granule, chunk=chunk, plan=plan)
+                granule=granule, chunk=chunk, plan=plan, with_states=False)
             return x
     else:
         solve = jax.jit(

@@ -102,7 +102,8 @@ def _bucket_cap(n: int, granule: int) -> int:
 
 @lru_cache(maxsize=None)
 def _bucket_odometry_jit(cfg: OdometryConfig, caps: tuple, chunk: int,
-                         front_packed: bool, contiguous: bool):
+                         front_packed: bool, contiguous: bool,
+                         with_states: bool = True):
     """One compiled variant per (bucket signature, chunk): gather the
     member problems' rows, truncate each cloud to its bucket capacity,
     solve — a single device dispatch.
@@ -136,11 +137,15 @@ def _bucket_odometry_jit(cfg: OdometryConfig, caps: tuple, chunk: int,
             take = lambda t: jax.tree.map(
                 lambda a: jnp.take(a, idx, axis=0), t)
             x0c = x0[idx]
-        return odo_ops.batch_odometry_solve(
+        x, st = odo_ops.batch_odometry_solve(
             trunc(take(sharp), cs), trunc(take(flat), cf),
             trunc(take(ref_c), crc), trunc(take(ref_s), crs),
             x0c, cfg,
         )
+        # with_states=False lets XLA dead-code-eliminate the diagnostic
+        # state outputs inside the dispatch (pose-only callers skip
+        # computing + concatenating ~8 per-problem diagnostic arrays)
+        return (x, st) if with_states else (x, None)
 
     return jax.jit(run)
 
@@ -238,7 +243,8 @@ def bucket_plan(sharp, flat, ref_c, ref_s, granule: int = 512,
 
 def bucketed_odometry_solve(sharp, flat, ref_c, ref_s, x0,
                             cfg: OdometryConfig, granule: int = 512,
-                            chunk: int = 256, plan=None):
+                            chunk: int = 256, plan=None,
+                            with_states: bool = True):
     """Heterogeneous batched scan-to-scan solves via capacity buckets.
 
     Inputs are batched Clouds at any (possibly generous) capacities; the
@@ -246,7 +252,9 @@ def bucketed_odometry_solve(sharp, flat, ref_c, ref_s, x0,
     (per-cloud bucket caps, see bucket_plan).  Each signature dispatches in
     fixed-size compiled chunks; results scatter back in input order —
     numerically identical to solving each problem alone at its bucket
-    capacity.  ``plan`` (from bucket_plan) skips the per-call device sync.
+    capacity.  ``plan`` (from bucket_plan) skips the per-call device sync;
+    ``with_states=False`` returns (x, None) with the diagnostic states
+    dead-code-eliminated inside each dispatch.
     """
     import numpy as np
 
@@ -264,13 +272,16 @@ def bucketed_odometry_solve(sharp, flat, ref_c, ref_s, x0,
             and all(b - a == 1 for a, b in zip(sl, sl[1:]))
         )
         fn = _bucket_odometry_jit(cfg, caps, take_n, front_packed,
-                                  contiguous)
+                                  contiguous, with_states)
         x, st = fn(sharp, flat, ref_c, ref_s, x0, jnp.asarray(idx))
         out_members.append(sl)
         out_x.append(x[: len(sl)])
-        out_st.append(jax.tree.map(lambda a: a[: len(sl)], st))
+        if with_states:
+            out_st.append(jax.tree.map(lambda a: a[: len(sl)], st))
     perm = np.argsort(np.concatenate(out_members))
     x_out = jnp.concatenate(out_x)[perm]
+    if not with_states:
+        return x_out, None
     st_out = jax.tree.map(
         lambda *leaves: jnp.concatenate(leaves)[perm], *out_st
     )
