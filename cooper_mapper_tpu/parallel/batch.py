@@ -237,7 +237,12 @@ def bucket_plan(sharp, flat, ref_c, ref_s, granule: int = 512,
     flat = chunked([(flat_caps, list(range(B)))])
     work_b = sum(n * cost(caps) for caps, n, _, _ in bucketed)
     work_f = sum(n * cost(caps) for caps, n, _, _ in flat)
-    dispatches = bucketed if work_b < 0.9 * work_f else flat
+    # threshold calibrated on chip: the linear race-work proxy overstates
+    # bucket savings (the NN races carry capacity-independent issue
+    # latency, and bucketed member gathers are non-contiguous), so a
+    # predicted-0.89 plan measured 6% SLOWER than flat — demand a sizable
+    # predicted margin before paying bucketing's dispatch diversity
+    dispatches = bucketed if work_b < 0.75 * work_f else flat
     return front_packed, tuple(dispatches)
 
 
