@@ -717,3 +717,147 @@ def extract_features_ring(pts, cr=5, nreg=6, max_corner_sharp=2,
 
     out.status = buf
     return out
+
+
+# ===========================================================================
+# IMU de-warp oracle (handleIMUMessage / interpolateIMUStateFor /
+# setIMUTransformFor / transformToStartIMU,
+# /root/reference/L_SLAM/src/odometry/ScanRegistration.cpp:89-188)
+# ===========================================================================
+#
+# Literal transcription of the reference's IMU integration and per-point
+# de-warp: LOAM-frame accel remap + tilted-frame gravity removal (:96-99),
+# rotateZXY world rotation + trapezoid-free Euler integration (:108-117),
+# the stateful forward-walking interpolation with yaw wrap
+# (ScanRegistration.h:151-169, :171-188), the position-shift construction
+# (:150-155), and the ZXY-then-inverse-YXZ point transform (:158-169).
+# Arbitrated against models/scan_registration.integrate_imu_history +
+# imu_dewarp by tests/test_features.py (TestImuDewarpGolden).
+
+def _rot_x(v, ang):
+    c, s = np.cos(ang), np.sin(ang)
+    y = v[1]
+    return np.array([v[0], c * y - s * v[2], s * y + c * v[2]])
+
+
+def _rot_y(v, ang):
+    c, s = np.cos(ang), np.sin(ang)
+    x = v[0]
+    return np.array([c * x + s * v[2], v[1], c * v[2] - s * x])
+
+
+def _rot_z(v, ang):
+    c, s = np.cos(ang), np.sin(ang)
+    x = v[0]
+    return np.array([c * x - s * v[1], s * x + c * v[1], v[2]])
+
+
+def rotate_zxy_np(v, ang_z, ang_x, ang_y):
+    """rotateZXY (math_utils.h:184-205): rotZ, then rotX, then rotY."""
+    return _rot_y(_rot_x(_rot_z(v, ang_z), ang_x), ang_y)
+
+
+def rotate_yxz_np(v, ang_y, ang_x, ang_z):
+    """rotateYXZ (math_utils.h:215-236): rotY, then rotX, then rotZ."""
+    return _rot_z(_rot_x(_rot_y(v, ang_y), ang_x), ang_z)
+
+
+@dataclasses.dataclass
+class ImuStateOracle:
+    stamp: float
+    roll: float
+    pitch: float
+    yaw: float
+    position: np.ndarray
+    velocity: np.ndarray
+
+
+def imu_history_oracle(stamps, acc_sensor, rpy, gravity=9.81):
+    """handleIMUMessage for a message stream (:89-120).
+
+    acc_sensor rows are raw accelerometer readings in SENSOR axis order
+    (x, y, z); the reference consumes them as (y, z, x) with tilted-frame
+    gravity removal (:96-99).
+    """
+    history = []
+    for k in range(len(stamps)):
+        roll, pitch, yaw = (float(rpy[k][0]), float(rpy[k][1]),
+                            float(rpy[k][2]))
+        acc = np.array([
+            acc_sensor[k][1] - np.sin(roll) * np.cos(pitch) * gravity,
+            acc_sensor[k][2] - np.cos(roll) * np.cos(pitch) * gravity,
+            acc_sensor[k][0] + np.sin(pitch) * gravity,
+        ])
+        state = ImuStateOracle(float(stamps[k]), roll, pitch, yaw,
+                               np.zeros(3), np.zeros(3))
+        if history:
+            acc_w = rotate_zxy_np(acc, roll, pitch, yaw)
+            prev = history[-1]
+            dt = state.stamp - prev.stamp
+            state.position = (prev.position + prev.velocity * dt
+                              + 0.5 * acc_w * dt * dt)
+            state.velocity = prev.velocity + acc_w * dt
+        history.append(state)
+    return history
+
+
+def interpolate_imu_state(history, scan_time, rel_time, imu_idx=0):
+    """interpolateIMUStateFor (:171-188): forward-walking index + yaw-wrap
+    interpolation (IMUState::interpolate, ScanRegistration.h:151-169).
+    Returns (state, new_imu_idx)."""
+    idx = imu_idx
+    time_diff = scan_time - history[idx].stamp + rel_time
+    while idx < len(history) - 1 and time_diff > 0:
+        idx += 1
+        time_diff = scan_time - history[idx].stamp + rel_time
+    if idx == 0 or time_diff > 0:
+        s = history[idx]
+        out = ImuStateOracle(s.stamp, s.roll, s.pitch, s.yaw,
+                             s.position.copy(), s.velocity.copy())
+        return out, idx
+    start, end = history[idx], history[idx - 1]
+    ratio = -time_diff / (start.stamp - end.stamp)
+    inv = 1.0 - ratio
+    yaw_end = end.yaw
+    if start.yaw - yaw_end > np.pi:
+        yaw_end += 2 * np.pi
+    elif start.yaw - yaw_end < -np.pi:
+        yaw_end -= 2 * np.pi
+    out = ImuStateOracle(
+        0.0,
+        start.roll * inv + end.roll * ratio,
+        start.pitch * inv + end.pitch * ratio,
+        start.yaw * inv + yaw_end * ratio,
+        start.position * inv + end.position * ratio,
+        start.velocity * inv + end.velocity * ratio,
+    )
+    return out, idx
+
+
+def imu_dewarp_oracle(points, rel_times, history, scan_time,
+                      sweep_start=None):
+    """Per-point transformToStartIMU (:128-169), points in scan order.
+
+    The stateful _imuIdx advances monotonically across the sweep exactly as
+    the reference's member variable does (reset() seeds _imuStart at
+    relTime 0, :122-133).
+    """
+    if sweep_start is None:
+        sweep_start = scan_time
+    imu_idx = 0
+    imu_start, imu_idx = interpolate_imu_state(history, scan_time, 0.0,
+                                               imu_idx)
+    out = []
+    for p, rel in zip(points, rel_times):
+        cur, imu_idx = interpolate_imu_state(history, scan_time, float(rel),
+                                             imu_idx)
+        rel_sweep = (scan_time - sweep_start) + float(rel)
+        shift = (cur.position - imu_start.position
+                 - imu_start.velocity * rel_sweep)
+        q = rotate_zxy_np(np.asarray(p, np.float64), cur.roll, cur.pitch,
+                          cur.yaw)
+        q = q + shift
+        q = rotate_yxz_np(q, -imu_start.yaw, -imu_start.pitch,
+                          -imu_start.roll)
+        out.append(q)
+    return np.stack(out)

@@ -361,3 +361,89 @@ class TestFeaturesGolden:
         # measured at round 5: sharp 0.93, flat 0.73 (ties dominate flats)
         assert jac["sharp"] >= 0.85, jac
         assert jac["flat"] >= 0.60, jac
+
+
+class TestImuDewarpGolden:
+    """models/scan_registration.{integrate_imu_history, imu_dewarp} vs the
+    literal IMU transcription (tests/ref_oracle.py: ScanRegistration.cpp
+    :89-188).  Points are compared in azimuth-major order — the driver
+    packet order the reference's monotone _imuIdx walk assumes."""
+
+    def _imu_stream(self, n=40, hz=100.0, seed=3):
+        rng = np.random.RandomState(seed)
+        t = 10.0 + np.arange(n) / hz
+        # smooth attitude with a yaw ramp crossing the +/-pi wrap
+        roll = 0.05 * np.sin(2 * np.pi * 1.3 * (t - t[0]))
+        pitch = 0.04 * np.sin(2 * np.pi * 0.9 * (t - t[0]) + 1.0)
+        yaw = np.pi - 0.02 + 0.8 * (t - t[0])          # wraps past +pi
+        yaw = np.mod(yaw + np.pi, 2 * np.pi) - np.pi
+        rpy = np.stack([roll, pitch, yaw], -1)
+        acc = 0.3 * rng.randn(n, 3)
+        # raw accelerometer carries gravity along sensor x (LOAM remap: the
+        # reference reads (y, z, x) and removes tilted gravity, :96-99)
+        acc[:, 2] += 9.81 * np.cos(roll) * np.cos(pitch)
+        return t, acc, rpy
+
+    def test_history_integration_matches(self):
+        from cooper_mapper_tpu.models import scan_registration as sr
+        from tests import ref_oracle as ro
+
+        t, acc, rpy = self._imu_stream()
+        hist = sr.integrate_imu_history(t, acc, rpy)
+        golden = ro.imu_history_oracle(t, acc, rpy)
+        pos_g = np.stack([s.position for s in golden])
+        vel_g = np.stack([s.velocity for s in golden])
+        np.testing.assert_allclose(np.asarray(hist.pos), pos_g, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(hist.vel), vel_g, atol=1e-4)
+
+    def test_dewarp_matches_oracle(self):
+        import jax.numpy as jnp
+
+        from cooper_mapper_tpu.models import scan_registration as sr
+        from tests import ref_oracle as ro
+
+        t, acc, rpy = self._imu_stream()
+        hist = sr.integrate_imu_history(t, acc, rpy)
+        golden = ro.imu_history_oracle(t, acc, rpy)
+
+        rng = np.random.RandomState(0)
+        R, W = 4, 64
+        scan_time = float(t[3]) + 0.004   # sweep starts inside the stream
+        xyz = rng.uniform(-8, 8, (R, W, 3)).astype(np.float32)
+        rel = np.broadcast_to(
+            (np.arange(W, dtype=np.float32) / W)[None, :], (R, W)).copy()
+        sweep = sr.Sweep(
+            xyz=jnp.asarray(xyz), mask=jnp.ones((R, W), bool),
+            rel_time=jnp.asarray(rel),
+        )
+        out = sr.imu_dewarp(sweep, hist, scan_time, scan_period=0.1)
+
+        # azimuth-major comparison: per column, all rings share one relTime
+        pts_am = xyz.transpose(1, 0, 2).reshape(-1, 3)
+        rel_am = np.repeat(rel[0] * 0.1, R)
+        gold = ro.imu_dewarp_oracle(pts_am.astype(np.float64), rel_am,
+                                    golden, scan_time)
+        got = np.asarray(out.xyz).transpose(1, 0, 2).reshape(-1, 3)
+        np.testing.assert_allclose(got, gold, atol=2e-3)
+
+    def test_dewarp_before_history_start_is_raw_state(self):
+        """Points before the first IMU stamp take history[0] verbatim
+        (the idx==0 branch, :180-181): both implementations agree."""
+        import jax.numpy as jnp
+
+        from cooper_mapper_tpu.models import scan_registration as sr
+        from tests import ref_oracle as ro
+
+        t, acc, rpy = self._imu_stream()
+        hist = sr.integrate_imu_history(t, acc, rpy)
+        golden = ro.imu_history_oracle(t, acc, rpy)
+        scan_time = float(t[0]) - 0.05    # before the stream
+        xyz = np.random.RandomState(1).uniform(-5, 5, (1, 16, 3)).astype(
+            np.float32)
+        rel = np.linspace(0, 0.3, 16, dtype=np.float32)[None, :]
+        sweep = sr.Sweep(xyz=jnp.asarray(xyz), mask=jnp.ones((1, 16), bool),
+                         rel_time=jnp.asarray(rel))
+        out = sr.imu_dewarp(sweep, hist, scan_time, scan_period=0.1)
+        gold = ro.imu_dewarp_oracle(xyz[0].astype(np.float64), rel[0] * 0.1,
+                                    golden, scan_time)
+        np.testing.assert_allclose(np.asarray(out.xyz)[0], gold, atol=2e-3)
