@@ -32,15 +32,39 @@ def assemble_normal_eqs(J, b, w_valid):
     return JtJ, Jtb, jnp.sum(valid.astype(J.dtype), axis=-1)
 
 
-def solve_6x6(JtJ, Jtb, damping=0.0):
-    """Solve (JtJ + damping*diag) dx = Jtb.  [..., 6, 6] x [..., 6]."""
+def solve_6x6(JtJ, Jtb, damping=0.0, spd: bool = True):
+    """Solve (JtJ + damping*diag) dx = Jtb.  [..., 6, 6] x [..., 6].
+
+    ``spd=True`` (native mode): JtJ is symmetric PSD by construction, so the
+    solve is Cholesky + two triangular solves — TPU LU serializes on partial
+    pivoting (the pose-graph inner solve measured it 62x slower,
+    BENCH.md config 3) and the 25 per-iteration 6x6 solves were 9% of the
+    headline solve's device time as LU custom calls.  The Tikhonov floor is
+    RELATIVE (1e-7 x mean diagonal) so a rank-deficient system stays
+    positive definite in f32: the update along a null direction comes out
+    huge-but-finite, exactly like LU's pivoted garbage, and the degeneracy
+    projector then removes it (same observable behavior).
+
+    ``spd=False`` (parity mode): the reference solves with
+    ColPivHouseholderQR (LaserOdometry.cpp:577-581); LU keeps the golden
+    iteration dynamics bit-stable against the float64 numpy oracle.
+    """
     A = JtJ
     if damping:
         A = A + damping * jnp.eye(6, dtype=JtJ.dtype)
-    # tiny Tikhonov floor keeps the solve finite when rows are all-masked;
-    # the degeneracy projector handles genuinely unconstrained directions.
-    A = A + 1e-12 * jnp.eye(6, dtype=JtJ.dtype)
-    return jnp.linalg.solve(A, Jtb[..., None])[..., 0]
+    if not spd:
+        # tiny absolute floor keeps the solve finite when rows are all-masked
+        A = A + 1e-12 * jnp.eye(6, dtype=JtJ.dtype)
+        return jnp.linalg.solve(A, Jtb[..., None])[..., 0]
+    tr = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None]
+    A = A + (1e-7 / 6.0 * tr + 1e-12) * jnp.eye(6, dtype=JtJ.dtype)
+    L = jax.lax.linalg.cholesky(A)
+    y = jax.lax.linalg.triangular_solve(
+        L, Jtb[..., None], left_side=True, lower=True, transpose_a=False
+    )
+    return jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True
+    )[..., 0]
 
 
 def degeneracy_projector(JtJ, eig_threshold, reference_mode: bool = False):
@@ -145,7 +169,7 @@ def gn_step(
     traced ``lax.cond`` would evaluate the batched eigh on every iteration
     under vmap.
     """
-    dx = solve_6x6(JtJ, Jtb)
+    dx = solve_6x6(JtJ, Jtb, spd=not reference_mode)
     if trust_region_t > 0.0:
         tn = jnp.linalg.norm(dx[..., 3:], axis=-1, keepdims=True)
         dx = dx.at[..., 3:].multiply(jnp.minimum(1.0, trust_region_t / jnp.maximum(tn, 1e-12)))

@@ -127,10 +127,40 @@ def _exact_jacobian_rows(x, pts, s, coeff_dir):
     return s[..., None] * rows
 
 
+def _exact_jacobian_rows_rigid(x, pts, coeff_dir):
+    """``_exact_jacobian_rows`` at s == 1, bit-for-bit, at scalar trig cost.
+
+    The cv_dewarp solve (the native default) rewrites every query's time
+    fraction to 1 before solving, so the per-point scaled angles ``s*x`` all
+    equal the per-problem twist: the 12 transcendentals per point per
+    iteration collapse to 6 per PROBLEM (sin/cos on scalars, coefficient
+    products computed once and broadcast).  Values are identical — ``1.0*v``
+    is ``v`` and the combine tree is unchanged (pinned bitwise by
+    tests/test_odometry.py::test_rigid_paths_bitwise).
+    """
+    srx, crx = jnp.sin(x[0]), jnp.cos(x[0])
+    sry, cry = jnp.sin(x[1]), jnp.cos(x[1])
+    srz, crz = jnp.sin(x[2]), jnp.cos(x[2])
+    arx, ary, arz = _tzyx_rotation_rows(
+        srx, crx, sry, cry, srz, crz, pts, coeff_dir,
+    )
+    return jnp.stack(
+        [arx, ary, arz, coeff_dir[..., 0], coeff_dir[..., 1],
+         coeff_dir[..., 2]], axis=-1,
+    )
+
+
 def _find_correspondences(x, sharp: Cloud, flat: Cloud, last_corner: Cloud,
-                          last_surf: Cloud, cfg: OdometryConfig):
-    pc = twist.warp_to_start(x, sharp.xyz, sharp.rel_time)
-    ps = twist.warp_to_start(x, flat.xyz, flat.rel_time)
+                          last_surf: Cloud, cfg: OdometryConfig,
+                          rigid: bool = False):
+    if rigid:
+        # cv_dewarp clouds carry rel_time == 1: the start-warp is the rigid
+        # TZYX(x) transform — scalar trig instead of per-point (bit-identical)
+        pc = twist.point_to_map(x, sharp.xyz)
+        ps = twist.point_to_map(x, flat.xyz)
+    else:
+        pc = twist.warp_to_start(x, sharp.xyz, sharp.rel_time)
+        ps = twist.warp_to_start(x, flat.xyz, flat.rel_time)
     ia_c, ib_c, ok_c = neighbors.corner_pairs(
         pc, last_corner, cfg.nn_sq_dist_max, cfg.ring_span, cfg.n_rings,
         cfg.nn_query_chunk, precision=cfg.nn_precision,
@@ -176,9 +206,21 @@ def _odometry_solve_pass(
     schedule (LaserOdometry.cpp:358) at a fifth of the cost.
     """
 
+    # cv_dewarp rewrites rel_time to 1 below, making every in-solve warp the
+    # rigid TZYX(x): per-point trig (12 transcendental arrays per iteration)
+    # collapses to per-problem scalars.  Bit-identical (tests pin it); on
+    # chip it measures perf-NEUTRAL — the in-jit ones are a constant, so XLA
+    # already folds s*x and sinks the broadcasts below sin/cos — but the
+    # explicit path no longer depends on the simplifier spotting that.
+    rigid = bool(cfg.cv_dewarp and not parity_mode)
+
     def step(st, corr, it, compute_projector=False):
-        pc = twist.warp_to_start(st.x, sharp.xyz, sharp.rel_time)
-        ps = twist.warp_to_start(st.x, flat.xyz, flat.rel_time)
+        if rigid:
+            pc = twist.point_to_map(st.x, sharp.xyz)
+            ps = twist.point_to_map(st.x, flat.xyz)
+        else:
+            pc = twist.warp_to_start(st.x, sharp.xyz, sharp.rel_time)
+            ps = twist.warp_to_start(st.x, flat.xyz, flat.rel_time)
 
         dir_c, res_c, w_ok_c = residuals.corner_coeff_odometry(
             corr.A_c, corr.B_c, pc, it, cfg.corner_weight_slope, cfg.weight_min
@@ -197,6 +239,10 @@ def _odometry_solve_pass(
             J_c = _reference_jacobian_rows(st.x, sharp.xyz, dir_c, port_typo=True)
             J_s = _reference_jacobian_rows(st.x, flat.xyz, dir_s, port_typo=True)
             scale = cfg.residual_scale
+        elif rigid:
+            J_c = _exact_jacobian_rows_rigid(st.x, sharp.xyz, dir_c)
+            J_s = _exact_jacobian_rows_rigid(st.x, flat.xyz, dir_s)
+            scale = 1.0
         else:
             J_c = _exact_jacobian_rows(st.x, sharp.xyz, sharp.rel_time, dir_c)
             J_s = _exact_jacobian_rows(st.x, flat.xyz, flat.rel_time, dir_s)
@@ -254,7 +300,9 @@ def _odometry_solve_pass(
     st = gn.gn_init(x0)
     n_blocks = -(-cfg.max_iterations // cfg.refresh_every)
     for block in range(n_blocks):
-        corr = _find_correspondences(st.x, sharp, flat, last_corner, last_surf, cfg)
+        corr = _find_correspondences(
+            st.x, sharp, flat, last_corner, last_surf, cfg, rigid=rigid
+        )
         start = block * cfg.refresh_every
         stop = min(start + cfg.refresh_every, cfg.max_iterations)
         if block == 0:

@@ -176,6 +176,29 @@ class TestExactJacobianClosedForm:
         b = odometry._reference_jacobian_rows(x, pts, coeff)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_rigid_paths_bitwise(self):
+        """The cv_dewarp rigid fast paths are the s == 1 paths BIT-for-bit.
+
+        The rigid step replaces per-point trig of ``1 * x`` with per-problem
+        scalar trig; ``1.0 * v == v`` and the combine tree is unchanged, so
+        warp and Jacobian rows must match exactly (no tolerance) — any drift
+        here would silently change the default solver's iterates.
+        """
+        rng = np.random.RandomState(7)
+        for _ in range(3):
+            x = jnp.asarray(rng.uniform(-0.5, 0.5, 6).astype(np.float32))
+            pts = jnp.asarray(rng.uniform(-30, 30, (64, 3)).astype(np.float32))
+            coeff = jnp.asarray(rng.randn(64, 3).astype(np.float32))
+            ones = jnp.ones(64, jnp.float32)
+
+            w_s = twist.warp_to_start(x, pts, ones)
+            w_r = twist.point_to_map(x, pts)
+            assert np.array_equal(np.asarray(w_s), np.asarray(w_r))
+
+            j_s = odometry._exact_jacobian_rows(x, pts, ones, coeff)
+            j_r = odometry._exact_jacobian_rows_rigid(x, pts, coeff)
+            assert np.array_equal(np.asarray(j_s), np.asarray(j_r))
+
 
 def test_query_chunked_nn_matches_dense():
     """Chunked-query correspondence search equals the single-tile search,
