@@ -58,13 +58,48 @@ def solve_6x6(JtJ, Jtb, damping=0.0, spd: bool = True):
         return jnp.linalg.solve(A, Jtb[..., None])[..., 0]
     tr = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None]
     A = A + (1e-7 / 6.0 * tr + 1e-12) * jnp.eye(6, dtype=JtJ.dtype)
-    L = jax.lax.linalg.cholesky(A)
-    y = jax.lax.linalg.triangular_solve(
-        L, Jtb[..., None], left_side=True, lower=True, transpose_a=False
-    )
-    return jax.lax.linalg.triangular_solve(
-        L, y, left_side=True, lower=True, transpose_a=True
-    )[..., 0]
+    return _cholesky6_solve(A, Jtb)
+
+
+def _cholesky6_solve(A, b):
+    """Unrolled batched 6x6 Cholesky solve — elementwise [...] ops only.
+
+    ``lax.linalg.cholesky``/``triangular_solve`` are custom calls whose
+    per-dispatch and [.., 6, 6]-layout overhead dwarfs the ~100 FLOPs of
+    arithmetic at this size; the unrolled scalar-plane form fuses straight
+    into the surrounding GN-iteration kernel.  Non-PSD input (impossible
+    after the relative Tikhonov floor except via Inf/NaN rows) yields NaN
+    from sqrt, exactly like the custom call, and nan_guard scrubs it.
+    """
+    n = 6
+    a = [[A[..., i, j] for j in range(n)] for i in range(n)]
+    L = [[None] * n for _ in range(n)]
+    inv = [None] * n
+    for j in range(n):
+        s = a[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(s)
+        L[j][j] = d
+        inv[j] = 1.0 / d
+        for i in range(j + 1, n):
+            s = a[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv[j]
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s * inv[i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s * inv[i]
+    return jnp.stack(x, axis=-1)
 
 
 def degeneracy_projector(JtJ, eig_threshold, reference_mode: bool = False):

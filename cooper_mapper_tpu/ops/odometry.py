@@ -273,9 +273,6 @@ def _odometry_solve_pass(
         )
         return st
 
-    def body(it, carry):
-        st, corr = carry
-        return step(st, corr, it), corr
 
     x_base = None
     if cfg.cv_dewarp and not parity_mode:
@@ -317,7 +314,13 @@ def _odometry_solve_pass(
             for it in range(start, stop):
                 st = step(st, corr, jnp.int32(it))
         else:
-            st, _ = jax.lax.fori_loop(start, stop, body, (st, corr))
+            # corr is closure-captured (a loop-INVARIANT input), not carried:
+            # carrying the ~44 MB correspondence arrays through the while
+            # tuple leaves XLA to prove them unchanged; as captured constants
+            # they cannot be copied per trip by construction
+            st = jax.lax.fori_loop(
+                start, stop, lambda it, s: step(s, corr, it), st
+            )
     if x_base is not None:
         # compose the de-warp prior back in: total sweep motion
         # M = TZYX(delta) @ TZYX(x_prev)
