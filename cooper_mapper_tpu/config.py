@@ -128,6 +128,15 @@ class ScanMatchConfig:
     # scanMatchLocal downsample leaves (:29-30)
     local_corner_leaf: float = 0.2
     local_surf_leaf: float = 0.4
+    # Marquardt-scaled diagonal damping: solve (JtJ + lam*diag(JtJ)) dx = Jtb.
+    # 0 = pure GN (the reference's dynamics, ScanMatch.cpp:196-201).  The
+    # undamped solve can enter a correspondence-flip limit cycle: 5-NN sets
+    # re-found each iteration flip between poses ~5 mm apart, above the 1 mm
+    # convergence threshold, so the solve never "converges" and success is
+    # forfeited even at high score (the reference author hit exactly this —
+    # "??? should we take the result when not converge?", ScanMatch.cpp:342).
+    # The loop-closure fine match engages it via LoopConfig.fine_damping.
+    lm_damping: float = 0.0
     # 5-NN kernel selection — see OdometryConfig.kernel_backend.  The
     # streaming Pallas top-k (ops/pallas/knn_stream.py) measures 10x the
     # dense path on surround-map-sized references (BENCH.md round 3).  A
@@ -240,7 +249,13 @@ class LoopConfig:
     min_loop_interval: float = 3.0        # distance since last loop
     max_candidates: int = 6
     candidate_cluster_dist: float = 5.0
-    # fine matching reuses ScanMatchConfig with scanMatchLocal leaves
+    # fine matching reuses ScanMatchConfig with scanMatchLocal leaves, plus
+    # Marquardt damping (ScanMatchConfig.lm_damping): the stacked
+    # multi-keyframe reference makes the undamped GN prone to a
+    # correspondence-flip limit cycle just above the convergence thresholds
+    # (measured: lam=1 converges in 7 iters to the cycle's center pose;
+    # lam=0 oscillates forever — BENCH.md round-5 notes)
+    fine_damping: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -152,9 +152,18 @@ class LoopDetector:
             max_iterations=8, max_corr_dist=2.0,
         )
         T_seed = jnp.where(n_inlier > 50, T_coarse, jnp.asarray(T_guess, jnp.float32))
+        # Marquardt damping on the fine match: the stacked candidate
+        # reference re-finds 5-NN sets every iteration and the undamped GN
+        # can flip between poses ~5 mm apart forever — just above the
+        # convergence gate the reference requires for success
+        # (ScanMatch.cpp:264,342) — forfeiting a high-score loop.  lam = 1
+        # contracts the cycle to its center pose (LoopConfig.fine_damping).
+        sm_cfg = dataclasses.replace(
+            self.sm_cfg, lm_damping=self.cfg.fine_damping
+        )
         res = sm.scan_match_local(
             kf_new.corner, kf_new.surf, ref_corner, ref_surf,
-            twist.from_mat(T_seed), self.sm_cfg,
+            twist.from_mat(T_seed), sm_cfg,
         )
         if not bool(res.success):
             return None

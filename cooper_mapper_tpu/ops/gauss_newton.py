@@ -185,6 +185,7 @@ def gn_step(
     trust_region_r=0.0,
     min_converge_iter=0,
     compute_projector: bool = False,
+    lm_damping: float = 0.0,
 ):
     """One masked GN update with the reference's guards.
 
@@ -204,21 +205,50 @@ def gn_step(
     traced ``lax.cond`` would evaluate the batched eigh on every iteration
     under vmap.
     """
-    dx = solve_6x6(JtJ, Jtb, spd=not reference_mode)
+    if compute_projector:
+        P, is_degenerate = degeneracy_projector(JtJ, eig_threshold, reference_mode)
+    else:
+        P, is_degenerate = state.P, state.is_degenerate
+
+    if lm_damping > 0.0:
+        # Marquardt-scaled damping (ScanMatchConfig.lm_damping): contracts
+        # the correspondence-flip limit cycle of the re-matched GN solve.
+        # The projector stays computed from the UNDAMPED iteration-0 JtJ.
+        diag = jnp.diagonal(JtJ, axis1=-2, axis2=-1)
+        JtJ = JtJ + lm_damping * (
+            diag[..., None] * jnp.eye(6, dtype=JtJ.dtype)
+        )
+
+    if reference_mode:
+        # literal reference dynamics: full-system solve, then matP projection
+        # (LaserOdometry.cpp:609-613)
+        dx = solve_6x6(JtJ, Jtb, spd=False)
+        dx = jnp.where(
+            is_degenerate[..., None], (P @ dx[..., None])[..., 0], dx
+        )
+    else:
+        # Degenerate lanes solve the PROJECTED system P JtJ P + (I - P)
+        # with rhs P Jtb: null directions get dx ~ 0 by construction.
+        # Projecting a full-system solve instead (the reference's scheme)
+        # leaves f32 leakage ~ |dx_null| * eps — with the near-singular
+        # solve producing |dx_null| ~ 1e5, that is ~0.01 of noise at the
+        # 0.05-deg/0.1-cm convergence thresholds, enough to keep a
+        # degenerate loop-closure fine-match from ever converging
+        # (tests/test_graph_pipeline.py exercises exactly this).
+        eye = jnp.eye(6, dtype=JtJ.dtype)
+        deg_m = is_degenerate[..., None, None]
+        A_eff = jnp.where(deg_m, P @ JtJ @ P + (eye - P), JtJ)
+        b_eff = jnp.where(
+            is_degenerate[..., None], (P @ Jtb[..., None])[..., 0], Jtb
+        )
+        dx = solve_6x6(A_eff, b_eff, spd=True)
+
     if trust_region_t > 0.0:
         tn = jnp.linalg.norm(dx[..., 3:], axis=-1, keepdims=True)
         dx = dx.at[..., 3:].multiply(jnp.minimum(1.0, trust_region_t / jnp.maximum(tn, 1e-12)))
     if trust_region_r > 0.0:
         rn = jnp.linalg.norm(dx[..., :3], axis=-1, keepdims=True)
         dx = dx.at[..., :3].multiply(jnp.minimum(1.0, trust_region_r / jnp.maximum(rn, 1e-12)))
-
-    if compute_projector:
-        P, is_degenerate = degeneracy_projector(JtJ, eig_threshold, reference_mode)
-    else:
-        P, is_degenerate = state.P, state.is_degenerate
-    dx = jnp.where(
-        is_degenerate[..., None], (P @ dx[..., None])[..., 0], dx
-    )
     dx = nan_guard(dx)
 
     enough = n_valid >= min_matched

@@ -99,23 +99,31 @@ def knn_search(q_xyz, r_xyz, r_mask, k: int, chunk: int = 512,
 
         from .pallas.nn1 import _pick_tile
 
-        # the top-k kernel keeps ~3k live [TQ, TM] temporaries per extraction
-        # round, so unlike the 1-NN races it must NOT take the whole reference
-        # as one tile (VMEM): cap the reference tile at 2048.  The reference
-        # is PADDED up to a tile multiple (padded entries carry ||r||^2 = BIG
-        # and never win) — falling back to whatever small tile divides M cost
-        # 28% of scan-to-map throughput at M = 5888 (tile 256 vs padded 2048,
-        # 90.3 -> 126.0 solves/s at b256, bench_artifacts/r4_chip2.log).
-        # COOPER_KNN_TQ / COOPER_KNN_TM override the caps for experiments
-        # (TM is honored verbatim after rounding down to a 128 multiple, so
-        # values above the 2048 default raise the cap too).
+        # The reference is PADDED up to a tile multiple (padded entries carry
+        # ||r||^2 = BIG and never win) — falling back to whatever small tile
+        # divides M cost 28% of scan-to-map throughput at M = 5888 (tile 256
+        # vs padded 2048, 90.3 -> 126.0 solves/s at b256,
+        # bench_artifacts/r4_chip2.log).  Tile choice ("auto"): ONE resident
+        # reference tile when the padded M fits <= 6144 (fewer grid-step
+        # boundaries; measured 176.2 vs 172.6 solves/s at the b64 bench
+        # shape, BENCH.md 5f) — with TQ capped at 128 there because the
+        # extraction keeps ~3 live [TQ, TM] temporaries per round against
+        # ~16 MB VMEM; past 6144 (map-scale references) stream 2048 tiles.
+        # COOPER_KNN_TQ / COOPER_KNN_TM override for experiments (TM is
+        # honored verbatim after rounding down to a 128 multiple).
         tq_cap = int(os.environ.get("COOPER_KNN_TQ", "256"))
-        tm_cap = int(os.environ.get("COOPER_KNN_TM", "2048"))
+        tm_cap = int(os.environ.get("COOPER_KNN_TM", "0"))  # 0 = auto
         Q, M = q_xyz.shape[0], r_xyz.shape[0]
+        m128 = -(-M // 128) * 128
+        if tm_cap:
+            tm = max(128, (tm_cap // 128) * 128)
+            if M <= tm:
+                tm = min(tm, m128)  # small reference: one snug tile
+        else:
+            tm = m128 if m128 <= 6144 else 2048
+        if tm > 2048:
+            tq_cap = min(tq_cap, 128)
         tq = _pick_tile(Q, tuple(t for t in (256, 128) if t <= tq_cap))
-        tm = max(128, (tm_cap // 128) * 128)
-        if M <= tm:
-            tm = min(tm, -(-M // 128) * 128)  # small reference: one snug tile
         m_pad = (-M) % tm
         if tq:
             from .pallas.knn_stream import knn_pallas

@@ -148,6 +148,7 @@ def scan_match(
             cfg.min_matched,
             reference_mode=parity_mode,
             compute_projector=compute_projector,
+            lm_damping=cfg.lm_damping,
         )
 
     # iteration 0 peeled: the degeneracy eigendecomposition runs exactly once
